@@ -1,0 +1,222 @@
+"""Batched contact + joint-limit solver: projected Gauss-Seidel on velocities.
+
+Replaces the PhysX TGS contact pipeline the reference depends on
+(humanoid_config.py:135-147: solver_type TGS, 4 position iters,
+contact_offset 0.01, max_depenetration_velocity 1.0).
+
+Design for XLA/TPU:
+- Fixed candidate set (static shapes): P sole points per foot (force-solved)
+  plus one unilateral row per joint (position limits). Activity is expressed
+  through constraint *bounds*, never through shapes.
+- One dense Delassus operator A = J Mtilde^-1 J^T per env (tiny: ~60x60),
+  built with batched matmuls; PGS sweeps are unrolled straight-line code.
+- Friction: Coulomb disk projection per contact, mu supplied per env
+  (friction domain randomization, reference legged_robot.py:257-269).
+
+Unilateral normal rows obey: v_n+ >= b  complementary to  lambda_n >= 0, where
+b encodes PhysX-like depenetration: approach-limited when separated by less
+than contact_offset, Baumgarte push-out capped by max_depenetration_velocity
+when penetrating.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .dynamics import Dyn, solve_mtilde
+from .kinematics import ancestor_mask, dof_basis, f32_matmul, point_jacobian
+from .model import RobotModel
+
+
+class ContactSetup(NamedTuple):
+    J: jnp.ndarray  # (nrow, nv) stacked constraint Jacobian
+    lo_bound: jnp.ndarray  # (ncon_pts,) velocity lower bound per normal row
+    limit_bound: jnp.ndarray  # (nj,) velocity bound for limit rows
+    limit_sign: jnp.ndarray  # (nj,) +1 pushing up from lower limit, -1 from upper
+    phi: jnp.ndarray  # (ncon_pts,) signed gap of force-solved points
+    pos_w: jnp.ndarray  # (ncon_pts,3) world candidate positions
+
+
+def build_contact_setup(
+    model: RobotModel,
+    dyn: Dyn,
+    terrain_height_fn,
+    dt: float,
+    contact_offset: float = 0.01,
+    baumgarte: float = 0.2,
+    max_depen_vel: float = 1.0,
+    limit_margin: float = 0.05,
+) -> ContactSetup:
+    k = dyn.k
+    mask = ancestor_mask(model)
+    basis = dof_basis(model, k)
+
+    body_idx = jnp.asarray(model.contact_point_body)
+    offs = model.contact_point_offset  # (K,3)
+    Rb = k.R[body_idx, :, :]
+    pb = k.p[body_idx, :]
+    pos = pb + jnp.einsum("kij,kj->ki", Rb, offs)  # (K,3)
+    ground = terrain_height_fn(pos[:, 0], pos[:, 1])
+    phi = pos[:, 2] - ground
+
+    # stacked point Jacobians (K,3,nv)
+    Jpts = jax.vmap(
+        lambda mrow, x: point_jacobian(basis, mrow, x), in_axes=(0, 0)
+    )(mask[body_idx], pos)
+
+    # normal-row bound b: v_n+ >= b
+    inactive = phi > contact_offset
+    b_pen = jnp.minimum(baumgarte * (-phi) / dt, max_depen_vel)  # push out
+    b_gap = -phi / dt  # allowed approach
+    lo = jnp.where(phi <= 0.0, b_pen, b_gap)
+    lo = jnp.where(inactive, -1e9, lo)
+
+    # joint-limit rows: one per joint, signed toward the nearer limit
+    qj_rows = jnp.eye(model.nv)[6:]  # (nj, nv)
+    # bounds computed by caller via qpos; returned by companion function below
+    K = pos.shape[0]
+    J = jnp.concatenate([Jpts.reshape(3 * K, model.nv), qj_rows], axis=0)
+    return ContactSetup(
+        J=J,
+        lo_bound=lo,
+        limit_bound=jnp.zeros(model.nj, pos.dtype),  # filled by with_joint_limits
+        limit_sign=jnp.ones(model.nj, pos.dtype),
+        phi=phi,
+        pos_w=pos,
+    )
+
+
+def joint_limit_bounds(
+    model: RobotModel,
+    qpos: jnp.ndarray,
+    dt: float,
+    baumgarte: float = 0.2,
+    max_depen_vel: float = 2.0,
+    margin: float = 0.05,
+):
+    """Per-joint unilateral bound. Constraint: sign * qdot+ >= b.
+
+    sign=+1 enforces the lower limit (qdot >= b), sign=-1 the upper
+    (-qdot >= b i.e. qdot <= -b).
+    """
+    qj = qpos[7:]
+    mid = 0.5 * (model.dof_lower + model.dof_upper)
+    near_lower = qj < mid
+    sign = jnp.where(near_lower, 1.0, -1.0)
+    viol = jnp.where(near_lower, model.dof_lower - qj, qj - model.dof_upper)  # >0 when out
+    b_pen = jnp.minimum(baumgarte * viol / dt, max_depen_vel)
+    b_gap = viol / dt  # negative when inside: allowed approach speed
+    b = jnp.where(viol >= 0.0, b_pen, b_gap)
+    b = jnp.where(viol < -margin, -1e9, b)
+    return sign, b
+
+
+def pgs_solve(
+    A: jnp.ndarray,  # (nrow, nrow) Delassus
+    u0: jnp.ndarray,  # (nrow,) J v_free
+    n_points: int,
+    lo_bound: jnp.ndarray,  # (n_points,)
+    limit_sign: jnp.ndarray,  # (nlim,)
+    limit_bound: jnp.ndarray,  # (nlim,)
+    mu: jnp.ndarray,  # () friction coefficient
+    iterations: int,
+) -> jnp.ndarray:
+    """Projected Gauss-Seidel over 3D friction blocks + 1D limit rows.
+
+    Returns impulses lam (nrow,). Rows of each contact block are ordered
+    (x, y, z=normal) in world axes (flat-terrain normal).
+    """
+    nrow = A.shape[0]
+    nlim = limit_sign.shape[0]
+    eps = 1e-7
+
+    # precompute 3x3 block inverses for the contact blocks
+    idx3 = jnp.arange(n_points) * 3
+    blocks = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(A, (i, i), (3, 3))
+    )(idx3)
+    blocks = blocks + eps * jnp.eye(3)[None]
+    block_inv = jnp.linalg.inv(blocks)
+    lim_diag = jnp.diagonal(A)[3 * n_points :] + eps
+
+    def sweep(_, carry):
+        lam, u = carry
+        # --- contact blocks (sequential; unrolled at trace time) ---
+        for kk in range(n_points):
+            r = kk * 3
+            lam_k = jax.lax.dynamic_slice(lam, (r,), (3,))
+            u_k = jax.lax.dynamic_slice(u, (r,), (3,))
+            target = jnp.array([0.0, 0.0, 0.0]).at[2].set(lo_bound[kk])
+            dlam = block_inv[kk] @ (target - u_k)
+            cand = lam_k + dlam
+            ln = jnp.maximum(cand[2], 0.0)
+            lt = cand[:2]
+            tn = jnp.linalg.norm(lt) + 1e-12
+            scale = jnp.minimum(1.0, mu * ln / tn)
+            new_k = jnp.concatenate([lt * scale, ln[None]])
+            d = new_k - lam_k
+            lam = jax.lax.dynamic_update_slice(lam, new_k, (r,))
+            u = u + A[:, r : r + 3] @ d
+        # --- joint limit rows ---
+        base = 3 * n_points
+        for jj in range(nlim):
+            r = base + jj
+            s = limit_sign[jj]
+            # constraint: s*u_r >= b, impulse along s direction, lam_signed >= 0
+            viol = limit_bound[jj] - s * u[r]
+            dlam = viol / lim_diag[r - base] * s
+            cand = (lam[r] + dlam) * s  # signed magnitude
+            new = jnp.maximum(cand, 0.0) * s
+            d = new - lam[r]
+            lam = lam.at[r].set(new)
+            u = u + A[:, r] * d
+        return lam, u
+
+    lam0 = jnp.zeros(nrow, A.dtype)
+    lam, _ = jax.lax.fori_loop(0, iterations, sweep, (lam0, u0))
+    return lam
+
+
+class ContactResult(NamedTuple):
+    qvel_new: jnp.ndarray  # (nv,)
+    impulses: jnp.ndarray  # (K,3) per force-solved point (world frame)
+    phi: jnp.ndarray  # (K,) gaps
+    pos_w: jnp.ndarray  # (K,3)
+
+
+@f32_matmul
+def resolve_contacts(
+    model: RobotModel,
+    dyn: Dyn,
+    qpos: jnp.ndarray,
+    v_free: jnp.ndarray,
+    terrain_height_fn,
+    dt: float,
+    mu: jnp.ndarray,
+    iterations: int = 8,
+    contact_offset: float = 0.01,
+    max_depen_vel: float = 1.0,
+) -> ContactResult:
+    setup = build_contact_setup(
+        model, dyn, terrain_height_fn, dt, contact_offset=contact_offset,
+        max_depen_vel=max_depen_vel,
+    )
+    sign, lb = joint_limit_bounds(model, qpos, dt)
+    K = setup.phi.shape[0]
+
+    W = solve_mtilde(dyn.Mtilde_chol, setup.J.T)  # (nv, nrow)
+    A = setup.J @ W  # (nrow, nrow)
+    u0 = setup.J @ v_free
+    lam = pgs_solve(
+        A, u0, K, setup.lo_bound, sign, lb, mu, iterations
+    )
+    qvel_new = v_free + W @ lam
+    return ContactResult(
+        qvel_new=qvel_new,
+        impulses=lam[: 3 * K].reshape(K, 3),
+        phi=setup.phi,
+        pos_w=setup.pos_w,
+    )

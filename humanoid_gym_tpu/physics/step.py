@@ -1,0 +1,170 @@
+"""The 1 kHz physics step: PD actuation -> dynamics -> contacts -> integrate.
+
+One policy step = `decimation` physics substeps under lax.scan, exactly
+mirroring the reference control path (legged_robot.py:84-102: decimation x
+[_compute_torques -> gym.simulate]) but as one fused XLA program.
+
+All functions are single-env; the env layer vmaps them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import spatial as S
+from .contact import ContactResult, resolve_contacts
+from .dynamics import compute_dynamics, solve_mtilde
+from .model import RobotModel
+
+
+@struct.dataclass
+class PhysicsState:
+    qpos: jnp.ndarray  # (nq,)
+    qvel: jnp.ndarray  # (nv,)
+    # per-env physical randomization
+    friction: jnp.ndarray  # () contact friction coefficient
+    base_mass_scale: jnp.ndarray  # () multiplicative base-mass randomization
+    # outputs of the last substep (for observations / rewards)
+    contact_forces: jnp.ndarray  # (nb,3) net per-body contact force [N]
+    torques: jnp.ndarray  # (nj,) last applied actuator torques
+
+
+class SubstepOut(NamedTuple):
+    contact_forces: jnp.ndarray
+    torques: jnp.ndarray
+
+
+def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> PhysicsState:
+    nq, nv, nb, njnt = model.nq, model.nv, model.nbody, model.nj
+    qj = jnp.zeros(njnt) if qj is None else qj
+    qpos = jnp.concatenate([jnp.asarray(base_pos), jnp.asarray(base_quat_wxyz), qj])
+    return PhysicsState(
+        qpos=qpos,
+        qvel=jnp.zeros(nv),
+        friction=jnp.asarray(1.0),
+        base_mass_scale=jnp.asarray(1.0),
+        contact_forces=jnp.zeros((nb, 3)),
+        torques=jnp.zeros(njnt),
+    )
+
+
+def pd_torques(
+    model: RobotModel,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+    targets: jnp.ndarray,
+    kp: jnp.ndarray,
+    kd: jnp.ndarray,
+    torque_limit: jnp.ndarray,
+) -> jnp.ndarray:
+    """PD controller (reference legged_robot.py:340-356):
+    tau = kp*(target - q) - kd*qdot, clipped to +-torque_limit."""
+    q = qpos[7:]
+    dq = qvel[6:]
+    tau = kp * (targets - q) - kd * dq
+    return jnp.clip(tau, -torque_limit, torque_limit)
+
+
+def make_substep(
+    model: RobotModel,
+    dt: float,
+    kp: jnp.ndarray,
+    kd: jnp.ndarray,
+    torque_limit: jnp.ndarray,
+    terrain_height_fn: Callable,
+    solver_iterations: int = 8,
+    max_depen_vel: float = 1.0,
+):
+    """Returns substep(state, joint_targets) -> state (single env)."""
+
+    nb = model.nbody
+    body_idx = jnp.asarray(model.contact_point_body)
+
+    def substep(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
+        qpos, qvel = state.qpos, state.qvel
+        tau = pd_torques(model, qpos, qvel, targets, kp, kd, torque_limit)
+
+        # implicit damping: PD kd + URDF viscous damping on joint DOFs
+        implicit_d = kd + model.dof_damping
+        mass_scale = jnp.ones(nb).at[0].set(state.base_mass_scale)
+        dyn = compute_dynamics(model, qpos, qvel, dt, implicit_d, mass_scale)
+
+        # Coulomb joint friction (URDF <dynamics friction>), smooth sign,
+        # plus the explicit part of URDF viscous damping (implicit remainder
+        # lives in Mtilde's LHS; the PD kd term is already inside tau).
+        tau_fric = -model.dof_friction * jnp.tanh(qvel[6:] / 0.05) - model.dof_damping * qvel[6:]
+        # delta-v form: (M + dt D)(v+ - v) = dt (tau - h); the damping D moved
+        # to the LHS makes the kd/viscous terms implicit while tau still
+        # reports the reference's explicit clipped PD torque.
+        gen_force = jnp.concatenate([jnp.zeros(6, tau.dtype), tau + tau_fric])
+        v_free = qvel + solve_mtilde(dyn.Mtilde_chol, dt * (gen_force - dyn.h))
+
+        res = resolve_contacts(
+            model,
+            dyn,
+            qpos,
+            v_free,
+            terrain_height_fn,
+            dt,
+            state.friction,
+            iterations=solver_iterations,
+            max_depen_vel=max_depen_vel,
+        )
+        qvel_new = res.qvel_new
+        # DOF velocity limits (PhysX clamps at maxVelocity; URDF <limit velocity>)
+        vj = jnp.clip(qvel_new[6:], -model.dof_vel_limit, model.dof_vel_limit)
+        qvel_new = qvel_new.at[6:].set(vj)
+
+        # integrate (semi-implicit Euler; quaternion exponential map)
+        pos_new = qpos[0:3] + dt * qvel_new[0:3]
+        quat_new = S.quat_integrate(qpos[3:7], qvel_new[3:6], dt)
+        qj_new = qpos[7:] + dt * qvel_new[6:]
+        qpos_new = jnp.concatenate([pos_new, quat_new, qj_new])
+
+        # net contact force per body (world frame, Newtons)
+        forces = res.impulses / dt  # (K,3)
+        cf = jnp.zeros((nb, 3), forces.dtype).at[body_idx].add(forces)
+        return state.replace(
+            qpos=qpos_new,
+            qvel=qvel_new,
+            contact_forces=cf,
+            torques=tau,
+        )
+
+    return substep
+
+
+def make_physics_step(
+    model: RobotModel,
+    sim_dt: float,
+    decimation: int,
+    kp: jnp.ndarray,
+    kd: jnp.ndarray,
+    torque_limit: jnp.ndarray,
+    terrain_height_fn: Callable,
+    solver_iterations: int = 8,
+):
+    """Returns step(state, joint_targets) -> state running `decimation`
+    substeps at sim_dt with the targets held (100 Hz policy / 1 kHz physics,
+    reference humanoid_config.py:128-131)."""
+
+    substep = make_substep(
+        model, sim_dt, kp, kd, torque_limit, terrain_height_fn, solver_iterations
+    )
+
+    def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
+        def body(st, _):
+            return substep(st, targets), None
+
+        out, _ = jax.lax.scan(body, state, None, length=decimation)
+        return out
+
+    return step
+
+
+def physics_step(*args, **kw):  # convenience alias
+    return make_physics_step(*args, **kw)
