@@ -1,0 +1,106 @@
+"""Headline benchmark: PPO env steps/sec/chip at 4096 envs (XBot-L).
+
+Runs the full fused training iteration (60-step rollout scan through the
+1 kHz contact-implicit physics + GAE + 2x4 minibatch PPO update) on the
+available accelerator and reports total_fps = T*N/iter_time — the same
+runtime metric the reference logs as Perf/total_fps
+(reference on_policy_runner.py:199-213).
+
+The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
+reported against a nominal 60,000 steps/s single-GPU figure — a typical
+Isaac Gym humanoid-gym total_fps on a desktop GPU at 4096 envs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env overrides: HGT_BENCH_ENVS (default 4096), HGT_BENCH_ITERS (default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hgt_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+from humanoid_gym_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+NOMINAL_REFERENCE_FPS = 60_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from humanoid_gym_tpu.algo.networks import ActorCritic
+    from humanoid_gym_tpu.algo.ppo import PPOConfig, init_train_state, make_train_iter
+    from humanoid_gym_tpu.config.xbotl import XBotLCfg, XBotLCfgPPO
+    from humanoid_gym_tpu.envs import make_env
+
+    num_envs = int(os.environ.get("HGT_BENCH_ENVS", 4096))
+    iters = int(os.environ.get("HGT_BENCH_ITERS", 3))
+
+    cfg = XBotLCfg()
+    cfg.env.num_envs = num_envs
+    tcfg = XBotLCfgPPO()
+    env = make_env(cfg)
+    net = ActorCritic(
+        num_actions=cfg.env.num_actions,
+        actor_hidden=tuple(tcfg.policy.actor_hidden_dims),
+        critic_hidden=tuple(tcfg.policy.critic_hidden_dims),
+    )
+    algo_cfg = PPOConfig.from_cfg(tcfg.algorithm)
+    algo_cfg.num_steps_per_env = tcfg.runner.num_steps_per_env
+    T = algo_cfg.num_steps_per_env
+
+    key = jax.random.PRNGKey(0)
+    k_init, k_env, key = jax.random.split(key, 3)
+    ts = init_train_state(
+        k_init, net, cfg.env.num_observations, cfg.env.num_privileged_obs,
+        algo_cfg.learning_rate,
+    )
+    keys = jax.random.split(k_env, num_envs)
+    state = env.init_state(keys, jnp.arange(num_envs))
+    obs = jnp.zeros((num_envs, cfg.env.num_observations))
+    priv = jnp.zeros((num_envs, cfg.env.num_privileged_obs))
+
+    train_iter = jax.jit(
+        make_train_iter(env, net, algo_cfg, num_envs), donate_argnums=(0, 1)
+    )
+
+    # warmup/compile
+    key, k = jax.random.split(key)
+    t0 = time.time()
+    ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
+    jax.block_until_ready(metrics["value_loss"])
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
+    jax.block_until_ready(metrics["value_loss"])
+    dt = (time.time() - t0) / iters
+
+    fps = T * num_envs / dt
+    print(
+        f"# bench: {num_envs} envs, T={T}, iter_time {dt:.3f}s, "
+        f"compile {compile_s:.1f}s, device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ppo_env_steps_per_sec_per_chip",
+                "value": round(fps, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(fps / NOMINAL_REFERENCE_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,334 @@
+"""PPO train iteration: rollout scan + GAE + minibatched clipped update.
+
+Numerical contract from the reference (humanoid/algo/ppo/ppo.py:39-184,
+rollout_storage.py:122-170, on_policy_runner.py:124-166):
+- log-probs computed on the *pre-clip* sampled action (ppo.py:91-95 with
+  env-side clipping, legged_robot.py:90-91 — SURVEY §2.4 oddity, preserved)
+- timeout bootstrap: rew += gamma * V(s_t) * timeout (ppo.py:107-108)
+- GAE reverse scan with (1-done) masking, batch-global advantage
+  normalization (rollout_storage.py:122-136)
+- 2 epochs x 4 minibatches over one shared random permutation of the
+  flattened T*N batch (rollout_storage.py:146-170: indices drawn once)
+- KL-adaptive learning rate x/÷1.5 in [1e-5, 1e-2] applied *before* each
+  minibatch's gradient step (ppo.py:136-148)
+- clipped surrogate + clipped value loss + entropy bonus, grad-norm clip,
+  Adam (ppo.py:150-178)
+
+The returned train_iter is one pure jittable function; under a sharded env
+axis every jnp.mean over the batch is a global (cross-shard) reduction, which
+is exactly where the reference's single-GPU semantics need collectives
+(SURVEY §2.3: advantage stats + KL mean are the only cross-env couplings).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .networks import ActorCritic, normal_entropy, normal_log_prob
+
+
+@dataclasses.dataclass
+class PPOConfig:
+    """Algorithm hyperparameters (reference humanoid_config.py:230-261)."""
+
+    clip_param: float = 0.2
+    num_learning_epochs: int = 2
+    num_mini_batches: int = 4
+    value_loss_coef: float = 1.0
+    entropy_coef: float = 0.001
+    learning_rate: float = 1e-5
+    max_grad_norm: float = 1.0
+    use_clipped_value_loss: bool = True
+    schedule: str = "adaptive"
+    desired_kl: float = 0.01
+    gamma: float = 0.994
+    lam: float = 0.9
+    num_steps_per_env: int = 60
+
+    @staticmethod
+    def from_cfg(a) -> "PPOConfig":
+        return PPOConfig(
+            clip_param=a.clip_param,
+            num_learning_epochs=a.num_learning_epochs,
+            num_mini_batches=a.num_mini_batches,
+            value_loss_coef=a.value_loss_coef,
+            entropy_coef=a.entropy_coef,
+            learning_rate=a.learning_rate,
+            max_grad_norm=a.max_grad_norm,
+            use_clipped_value_loss=a.use_clipped_value_loss,
+            schedule=a.schedule,
+            desired_kl=a.desired_kl,
+            gamma=a.gamma,
+            lam=a.lam,
+        )
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_mu: Any  # Adam first moment
+    opt_nu: Any  # Adam second moment
+    opt_count: jnp.ndarray  # () int32
+    lr: jnp.ndarray  # () adaptive learning rate
+    iteration: jnp.ndarray  # () int32
+
+
+class Rollout(NamedTuple):
+    obs: jnp.ndarray  # (T, N, O)
+    priv_obs: jnp.ndarray  # (T, N, P)
+    actions: jnp.ndarray  # (T, N, A) pre-clip samples
+    log_probs: jnp.ndarray  # (T, N)
+    values: jnp.ndarray  # (T, N)
+    rewards: jnp.ndarray  # (T, N) (post-bootstrap)
+    dones: jnp.ndarray  # (T, N) bool
+    mu: jnp.ndarray  # (T, N, A)
+    sigma: jnp.ndarray  # (T, N, A)
+
+
+def init_train_state(key, net: ActorCritic, num_obs, num_priv, lr0) -> TrainState:
+    params = net.init(key, jnp.zeros((1, num_obs)), jnp.zeros((1, num_priv)))
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return TrainState(
+        params=params,
+        opt_mu=zeros,
+        opt_nu=jax.tree.map(jnp.zeros_like, params),
+        opt_count=jnp.asarray(0, jnp.int32),
+        lr=jnp.asarray(lr0, jnp.float32),
+        iteration=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _adam_step(params, grads, mu, nu, count, lr, b1=0.9, b2=0.999, eps=1e-8):
+    """Plain Adam with external (state-carried) learning rate — the scale is
+    applied manually so the KL-adaptive lr lives in TrainState, not in
+    optimizer hyperparams."""
+    count = count + 1
+    mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, mu, grads)
+    nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * jnp.square(g), nu, grads)
+    c1 = 1 - b1**count.astype(jnp.float32)
+    c2 = 1 - b2**count.astype(jnp.float32)
+    params = jax.tree.map(
+        lambda p, m, v: p - lr * (m / c1) / (jnp.sqrt(v / c2) + eps), params, mu, nu
+    )
+    return params, mu, nu, count
+
+
+def gae(rewards, values, dones, last_value, gamma: float, lam: float):
+    """Generalized advantage estimation, reverse scan over the horizon
+    (reference rollout_storage.py:122-132). Shapes: (T, N) inputs,
+    (N,) last_value -> (advantages, returns), both (T, N)."""
+
+    def body(carry, xs):
+        adv_next, value_next = carry
+        rew, value, done = xs
+        not_done = 1.0 - done.astype(jnp.float32)
+        delta = rew + gamma * value_next * not_done - value
+        adv = delta + gamma * lam * not_done * adv_next
+        return (adv, value), adv
+
+    (_, _), advantages = jax.lax.scan(
+        body,
+        (jnp.zeros_like(last_value), last_value),
+        (rewards, values, dones),
+        reverse=True,
+    )
+    return advantages, advantages + values
+
+
+def make_train_iter(
+    env,
+    net: ActorCritic,
+    cfg: PPOConfig,
+    num_envs: int,
+) -> Callable:
+    """Build train_iter(ts, env_state, obs, priv_obs, key) ->
+    (ts, env_state, obs, priv_obs, metrics)."""
+
+    T = cfg.num_steps_per_env
+    batch = T * num_envs
+    mb_size = batch // cfg.num_mini_batches
+
+    actor_apply = partial(net.apply, method=ActorCritic.act)
+    critic_apply = partial(net.apply, method=ActorCritic.evaluate)
+
+    def rollout_phase(ts, env_state, obs, priv_obs, key):
+        def step_fn(carry, _):
+            env_state, obs, priv_obs, key = carry
+            key, k_sample = jax.random.split(key)
+            mean, std = actor_apply(ts.params, obs)
+            value = critic_apply(ts.params, priv_obs)
+            noise = jax.random.normal(k_sample, mean.shape)
+            action = mean + std * noise
+            logp = normal_log_prob(mean, std, action)
+            new_env_state, tr = env.step(env_state, action)
+            # timeout bootstrap (ppo.py:107-108)
+            rew = tr.reward + cfg.gamma * value * tr.time_out
+            data = Rollout(
+                obs=obs,
+                priv_obs=priv_obs,
+                actions=action,
+                log_probs=logp,
+                values=value,
+                rewards=rew,
+                dones=tr.done,
+                mu=mean,
+                sigma=jnp.broadcast_to(std, mean.shape),
+            )
+            info = (
+                tr.reward,
+                tr.ep_term_sums,
+                tr.ep_reset_count,
+                tr.ep_len_at_reset,
+                tr.ep_reward_at_reset,
+                tr.terrain_level,
+            )
+            return (new_env_state, tr.obs, tr.privileged_obs, key), (data, info)
+
+        (env_state, obs, priv_obs, key), (roll, infos) = jax.lax.scan(
+            step_fn, (env_state, obs, priv_obs, key), None, length=T
+        )
+        return env_state, obs, priv_obs, roll, infos
+
+    def compute_gae(ts, roll: Rollout, last_priv_obs):
+        last_value = critic_apply(ts.params, last_priv_obs)
+        advantages, returns = gae(
+            roll.rewards, roll.values, roll.dones, last_value, cfg.gamma, cfg.lam
+        )
+        # batch-global normalization (rollout_storage.py:135-136)
+        adv_n = (advantages - jnp.mean(advantages)) / (jnp.std(advantages) + 1e-8)
+        return adv_n, returns
+
+    def minibatch_update(ts, mb) -> Tuple[TrainState, Dict]:
+        obs, priv, act, old_logp, old_v, adv, ret, old_mu, old_sigma = mb
+
+        # KL-adaptive LR, computed before the step (ppo.py:136-148)
+        lr = ts.lr
+        if cfg.schedule == "adaptive":
+            mean, std = actor_apply(ts.params, obs)
+            kl = jnp.sum(
+                jnp.log(std / old_sigma + 1e-5)
+                + (jnp.square(old_sigma) + jnp.square(mean - old_mu))
+                / (2.0 * jnp.square(std))
+                - 0.5,
+                axis=-1,
+            )
+            kl_mean = jnp.mean(kl)
+            lr = jnp.where(
+                kl_mean > cfg.desired_kl * 2.0,
+                jnp.maximum(1e-5, lr / 1.5),
+                jnp.where(
+                    (kl_mean < cfg.desired_kl / 2.0) & (kl_mean > 0.0),
+                    jnp.minimum(1e-2, lr * 1.5),
+                    lr,
+                ),
+            )
+        else:
+            kl_mean = jnp.asarray(0.0)
+
+        def loss_fn(params):
+            mean, std = actor_apply(params, obs)
+            value = critic_apply(params, priv)
+            logp = normal_log_prob(mean, std, act)
+            ratio = jnp.exp(logp - old_logp)
+            surr = -adv * ratio
+            surr_clipped = -adv * jnp.clip(
+                ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param
+            )
+            surrogate_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
+            if cfg.use_clipped_value_loss:
+                v_clipped = old_v + jnp.clip(
+                    value - old_v, -cfg.clip_param, cfg.clip_param
+                )
+                value_loss = jnp.mean(
+                    jnp.maximum(
+                        jnp.square(value - ret), jnp.square(v_clipped - ret)
+                    )
+                )
+            else:
+                value_loss = jnp.mean(jnp.square(ret - value))
+            entropy = normal_entropy(std, logp.shape)
+            total = (
+                surrogate_loss
+                + cfg.value_loss_coef * value_loss
+                - cfg.entropy_coef * jnp.mean(entropy)
+            )
+            return total, (surrogate_loss, value_loss, jnp.mean(entropy))
+
+        grads, (surr_l, val_l, ent) = jax.grad(loss_fn, has_aux=True)(ts.params)
+        # global grad-norm clip (ppo.py:173)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        params, mu, nu, count = _adam_step(
+            ts.params, grads, ts.opt_mu, ts.opt_nu, ts.opt_count, lr
+        )
+        ts = ts.replace(params=params, opt_mu=mu, opt_nu=nu, opt_count=count, lr=lr)
+        return ts, {
+            "value_loss": val_l,
+            "surrogate_loss": surr_l,
+            "entropy": ent,
+            "kl": kl_mean,
+            "grad_norm": gnorm,
+        }
+
+    def train_iter(ts: TrainState, env_state, obs, priv_obs, key):
+        key, k_roll, k_perm = jax.random.split(key, 3)
+        env_state, obs, priv_obs, roll, infos = rollout_phase(
+            ts, env_state, obs, priv_obs, k_roll
+        )
+        adv, ret = compute_gae(ts, roll, priv_obs)
+
+        flat = lambda x: x.reshape((batch,) + x.shape[2:])
+        data = (
+            flat(roll.obs),
+            flat(roll.priv_obs),
+            flat(roll.actions),
+            flat(roll.log_probs),
+            flat(roll.values),
+            flat(adv),
+            flat(ret),
+            flat(roll.mu),
+            flat(roll.sigma),
+        )
+        # one permutation shared by all epochs (rollout_storage.py:149)
+        perm = jax.random.permutation(k_perm, batch)
+
+        metrics_acc = None
+        for _ in range(cfg.num_learning_epochs):
+            for i in range(cfg.num_mini_batches):
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
+                mb = tuple(x[idx] for x in data)
+                ts, mets = minibatch_update(ts, mb)
+                if metrics_acc is None:
+                    metrics_acc = {k: v for k, v in mets.items()}
+                else:
+                    metrics_acc = {
+                        k: metrics_acc[k] + v for k, v in mets.items()
+                    }
+        n_updates = cfg.num_learning_epochs * cfg.num_mini_batches
+        metrics = {k: v / n_updates for k, v in metrics_acc.items()}
+
+        step_rewards, ep_sums, ep_resets, ep_lens, ep_rews, terr_lvl = infos
+        metrics.update(
+            mean_step_reward=jnp.mean(step_rewards),
+            ep_term_sums=jnp.sum(ep_sums, axis=(0, 1)),  # (n_terms,)
+            ep_reset_count=jnp.sum(ep_resets),
+            ep_len_sum=jnp.sum(ep_lens),
+            ep_reward_sum=jnp.sum(ep_rews),
+            mean_terrain_level=jnp.mean(terr_lvl),
+            lr=ts.lr,
+            action_std_mean=jnp.mean(
+                jnp.abs(ts.params["params"]["std"])
+            ),
+        )
+        ts = ts.replace(iteration=ts.iteration + 1)
+        return ts, env_state, obs, priv_obs, key, metrics
+
+    return train_iter

@@ -1,0 +1,162 @@
+"""MuJoCo cross-simulator validation (the zero-shot transfer check).
+
+Replays an exported policy in MuJoCo 2.3.x at 1 kHz with the deployment
+observation contract of the reference (scripts/sim2sim.py:70-160):
+sensor-only obs (no privileged info), 47-dim single frame, 15-deep history,
+100 Hz policy / 1 kHz PD at kp/kd from the task config, torque clip +-180*?
+(reference tau_limit = 200 * 0.85 scale via cfg), command vx fixed.
+
+This is the e2e integration test of the whole framework: a policy trained in
+the JAX engine must walk in MuJoCo (BASELINE.md validation row).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class Sim2SimCfg:
+    mujoco_model_path: str = ""
+    sim_dt: float = 0.001
+    decimation: int = 10
+    sim_duration: float = 60.0
+    # command (reference sim2sim.py:42-45)
+    cmd_vx: float = 0.4
+    cmd_vy: float = 0.0
+    cmd_dyaw: float = 0.0
+    # obs contract (XBotLCfg normalization/scales)
+    frame_stack: int = 15
+    num_single_obs: int = 47
+    num_actions: int = 12
+    obs_clip: float = 18.0
+    action_clip: float = 18.0
+    action_scale: float = 0.25
+    cycle_time: float = 0.64
+    obs_scale_lin_vel: float = 2.0
+    obs_scale_ang_vel: float = 1.0
+    obs_scale_dof_pos: float = 1.0
+    obs_scale_dof_vel: float = 0.05
+    obs_scale_quat: float = 1.0
+    # PD (reference sim2sim.py:188-190)
+    kps: np.ndarray = field(
+        default_factory=lambda: np.array(
+            [200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15], np.float64
+        )
+    )
+    kds: np.ndarray = field(
+        default_factory=lambda: np.array(
+            [10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10], np.float64
+        )
+    )
+    tau_limit: np.ndarray = field(
+        default_factory=lambda: 200.0 * 0.85 * np.ones(12, np.float64)
+    )
+
+
+def quaternion_to_euler_array(quat_xyzw: np.ndarray) -> np.ndarray:
+    """xyzw quaternion -> roll/pitch/yaw (reference sim2sim.py:48-67)."""
+    x, y, z, w = quat_xyzw
+    t0 = 2.0 * (w * x + y * z)
+    t1 = 1.0 - 2.0 * (x * x + y * y)
+    roll = np.arctan2(t0, t1)
+    t2 = np.clip(2.0 * (w * y - z * x), -1.0, 1.0)
+    pitch = np.arcsin(t2)
+    t3 = 2.0 * (w * z + x * y)
+    t4 = 1.0 - 2.0 * (y * y + z * z)
+    yaw = np.arctan2(t3, t4)
+    return np.array([roll, pitch, yaw])
+
+
+def get_obs(data):
+    """Extract state from MuJoCo (reference sim2sim.py:70-80)."""
+    q = data.qpos.astype(np.double)
+    dq = data.qvel.astype(np.double)
+    quat = data.sensor("orientation").data[[1, 2, 3, 0]].astype(np.double)  # xyzw
+    omega = data.sensor("angular-velocity").data.astype(np.double)
+    return q, dq, quat, omega
+
+
+def run_mujoco(policy, cfg: Sim2SimCfg, record_states: bool = False):
+    """60 s closed-loop rollout (reference sim2sim.py:87-164).
+
+    Returns summary dict: distance walked, mean height, falls, mean |vx|.
+    """
+    import mujoco
+
+    model = mujoco.MjModel.from_xml_path(cfg.mujoco_model_path)
+    model.opt.timestep = cfg.sim_dt
+    data = mujoco.MjData(model)
+    mujoco.mj_step(model, data)
+
+    target_q = np.zeros(cfg.num_actions)
+    action = np.zeros(cfg.num_actions)
+    hist_obs = deque(maxlen=cfg.frame_stack)
+    for _ in range(cfg.frame_stack):
+        hist_obs.append(np.zeros(cfg.num_single_obs))
+
+    count_lowlevel = 0
+    n_steps = int(cfg.sim_duration / cfg.sim_dt)
+    heights, xs, vxs = [], [], []
+    states = []
+    fallen_at: Optional[float] = None
+
+    for step in range(n_steps):
+        q, dq, quat, omega = get_obs(data)
+        qj = q[-cfg.num_actions :]
+        dqj = dq[-cfg.num_actions :]
+
+        if count_lowlevel % cfg.decimation == 0:
+            t = count_lowlevel * cfg.sim_dt
+            obs = np.zeros(cfg.num_single_obs)
+            eu = quaternion_to_euler_array(quat)
+            eu[eu > np.pi] -= 2 * np.pi
+            phase = 2 * np.pi * t / cfg.cycle_time
+            obs[0] = np.sin(phase)
+            obs[1] = np.cos(phase)
+            obs[2] = cfg.cmd_vx * cfg.obs_scale_lin_vel
+            obs[3] = cfg.cmd_vy * cfg.obs_scale_lin_vel
+            obs[4] = cfg.cmd_dyaw * cfg.obs_scale_ang_vel
+            obs[5:17] = qj * cfg.obs_scale_dof_pos
+            obs[17:29] = dqj * cfg.obs_scale_dof_vel
+            obs[29:41] = action
+            obs[41:44] = omega
+            obs[44:47] = eu
+            obs = np.clip(obs, -cfg.obs_clip, cfg.obs_clip)
+            hist_obs.append(obs)
+
+            policy_input = np.concatenate(list(hist_obs))
+            action = np.asarray(policy(policy_input)).reshape(-1)
+            action = np.clip(action, -cfg.action_clip, cfg.action_clip)
+            target_q = action * cfg.action_scale
+
+        # 1 kHz PD (reference sim2sim.py:82-85,153-157)
+        tau = cfg.kps * (target_q - qj) - cfg.kds * dqj
+        tau = np.clip(tau, -cfg.tau_limit, cfg.tau_limit)
+        data.ctrl = tau
+        mujoco.mj_step(model, data)
+        count_lowlevel += 1
+
+        if step % 100 == 0:
+            heights.append(float(data.qpos[2]))
+            xs.append(float(data.qpos[0]))
+            vxs.append(float(data.qvel[0]))
+            if record_states:
+                states.append(np.array(data.qpos))
+            if fallen_at is None and data.qpos[2] < 0.3:
+                fallen_at = step * cfg.sim_dt
+
+    out = {
+        "distance_x": xs[-1] - xs[0] if xs else 0.0,
+        "mean_height": float(np.mean(heights)) if heights else 0.0,
+        "mean_vx": float(np.mean(vxs)) if vxs else 0.0,
+        "fallen_at_s": fallen_at,
+        "duration_s": cfg.sim_duration,
+    }
+    if record_states:
+        out["states"] = np.stack(states)
+    return out

@@ -142,38 +142,43 @@ def pgs_solve(
     block_inv = jnp.linalg.inv(blocks)
     lim_diag = jnp.diagonal(A)[3 * n_points :] + eps
 
-    def sweep(_, carry):
+    def contact_block(kk, carry):
         lam, u = carry
-        # --- contact blocks (sequential; unrolled at trace time) ---
-        for kk in range(n_points):
-            r = kk * 3
-            lam_k = jax.lax.dynamic_slice(lam, (r,), (3,))
-            u_k = jax.lax.dynamic_slice(u, (r,), (3,))
-            target = jnp.array([0.0, 0.0, 0.0]).at[2].set(lo_bound[kk])
-            dlam = block_inv[kk] @ (target - u_k)
-            cand = lam_k + dlam
-            ln = jnp.maximum(cand[2], 0.0)
-            lt = cand[:2]
-            tn = jnp.linalg.norm(lt) + 1e-12
-            scale = jnp.minimum(1.0, mu * ln / tn)
-            new_k = jnp.concatenate([lt * scale, ln[None]])
-            d = new_k - lam_k
-            lam = jax.lax.dynamic_update_slice(lam, new_k, (r,))
-            u = u + A[:, r : r + 3] @ d
-        # --- joint limit rows ---
-        base = 3 * n_points
-        for jj in range(nlim):
-            r = base + jj
-            s = limit_sign[jj]
-            # constraint: s*u_r >= b, impulse along s direction, lam_signed >= 0
-            viol = limit_bound[jj] - s * u[r]
-            dlam = viol / lim_diag[r - base] * s
-            cand = (lam[r] + dlam) * s  # signed magnitude
-            new = jnp.maximum(cand, 0.0) * s
-            d = new - lam[r]
-            lam = lam.at[r].set(new)
-            u = u + A[:, r] * d
+        r = kk * 3
+        lam_k = jax.lax.dynamic_slice(lam, (r,), (3,))
+        u_k = jax.lax.dynamic_slice(u, (r,), (3,))
+        target = jnp.zeros(3).at[2].set(lo_bound[kk])
+        dlam = block_inv[kk] @ (target - u_k)
+        cand = lam_k + dlam
+        ln = jnp.maximum(cand[2], 0.0)
+        lt = cand[:2]
+        tn = jnp.linalg.norm(lt) + 1e-12
+        scale = jnp.minimum(1.0, mu * ln / tn)
+        new_k = jnp.concatenate([lt * scale, ln[None]])
+        d = new_k - lam_k
+        lam = jax.lax.dynamic_update_slice(lam, new_k, (r,))
+        Acol = jax.lax.dynamic_slice(A, (0, r), (nrow, 3))
+        u = u + Acol @ d
         return lam, u
+
+    def limit_row(jj, carry):
+        lam, u = carry
+        r = 3 * n_points + jj
+        s = limit_sign[jj]
+        # constraint: s*u_r >= b, impulse along s direction, lam_signed >= 0
+        viol = limit_bound[jj] - s * u[r]
+        dlam = viol / lim_diag[jj] * s
+        cand = (lam[r] + dlam) * s  # signed magnitude
+        new = jnp.maximum(cand, 0.0) * s
+        d = new - lam[r]
+        lam = lam.at[r].set(new)
+        u = u + A[:, r] * d
+        return lam, u
+
+    def sweep(_, carry):
+        carry = jax.lax.fori_loop(0, n_points, contact_block, carry)
+        carry = jax.lax.fori_loop(0, nlim, limit_row, carry)
+        return carry
 
     lam0 = jnp.zeros(nrow, A.dtype)
     lam, _ = jax.lax.fori_loop(0, iterations, sweep, (lam0, u0))

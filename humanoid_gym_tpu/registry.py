@@ -1,0 +1,55 @@
+"""Task registry: name -> (env builder, env cfg, train cfg).
+
+Capability analog of the reference TaskRegistry
+(humanoid/utils/task_registry.py:44-163) with the same registration pattern
+(envs/__init__.py:42 registers "humanoid_ppo"), minus the eval()-based class
+resolution (SURVEY §2.4 oddity — replaced by explicit callables).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional
+
+
+class TaskSpec(NamedTuple):
+    make_env_cfg: Callable  # () -> LeggedRobotCfg
+    make_train_cfg: Callable  # () -> PPOCfg
+
+
+_REGISTRY: Dict[str, TaskSpec] = {}
+
+
+def register(name: str, make_env_cfg, make_train_cfg) -> None:
+    _REGISTRY[name] = TaskSpec(make_env_cfg, make_train_cfg)
+
+
+def get_task(name: str) -> TaskSpec:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown task {name!r}; registered: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def task_names():
+    return sorted(_REGISTRY)
+
+
+def make_env(name: str, num_envs: Optional[int] = None, cfg_overrides=None):
+    """Build (env, env_cfg) for a registered task (task_registry.py:65-103)."""
+    from .envs import make_env as _make
+
+    spec = get_task(name)
+    cfg = spec.make_env_cfg()
+    if cfg_overrides:
+        cfg_overrides(cfg)
+    if num_envs is not None:
+        cfg.env.num_envs = num_envs
+    return _make(cfg), cfg
+
+
+def _register_builtin():
+    from .config.xbotl import XBotLCfg, XBotLCfgPPO
+
+    register("humanoid_ppo", XBotLCfg, XBotLCfgPPO)
+
+
+_register_builtin()

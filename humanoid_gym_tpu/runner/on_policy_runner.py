@@ -1,0 +1,241 @@
+"""OnPolicyRunner: the training orchestration loop.
+
+Mirrors the reference runner's observable behavior (humanoid/algo/ppo/
+on_policy_runner.py:45-307): same scalar names on TensorBoard, same console
+banner contract (steps/s, ETA), checkpoint every save_interval, resumable —
+but the per-iteration work (rollout + GAE + update) is ONE jitted XLA program
+built by algo.ppo.make_train_iter, so the host only sees one device round-trip
+per iteration for metrics.
+
+Checkpoints are full train-state pytrees (params, Adam moments, adaptive LR,
+iteration) via flax serialization — exact resume (SURVEY §5: the reference
+checkpoints learner state only; we keep that contract for ckpt files and
+optionally bundle env state for bit-exact continuation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..algo.networks import ActorCritic
+from ..algo.ppo import PPOConfig, TrainState, init_train_state, make_train_iter
+from ..parallel.mesh import make_env_mesh, replicate, shard_env_axis
+
+
+class OnPolicyRunner:
+    def __init__(
+        self,
+        env,
+        train_cfg,
+        log_dir: Optional[str] = None,
+        device_mesh=None,
+        seed: Optional[int] = None,
+    ):
+        self.env = env
+        self.cfg = train_cfg
+        self.log_dir = log_dir
+        self.seed = train_cfg.seed if seed is None else seed
+
+        ec = env.cfg.env
+        self.num_envs = env.num_envs
+        self.num_steps_per_env = train_cfg.runner.num_steps_per_env
+        self.save_interval = train_cfg.runner.save_interval
+
+        self.net = ActorCritic(
+            num_actions=ec.num_actions,
+            actor_hidden=tuple(train_cfg.policy.actor_hidden_dims),
+            critic_hidden=tuple(train_cfg.policy.critic_hidden_dims),
+            init_noise_std=train_cfg.policy.init_noise_std,
+        )
+        algo_cfg = PPOConfig.from_cfg(train_cfg.algorithm)
+        algo_cfg.num_steps_per_env = self.num_steps_per_env
+        self.algo_cfg = algo_cfg
+
+        key = jax.random.PRNGKey(self.seed)
+        self.key, k_init, k_env = jax.random.split(key, 3)
+        self.train_state = init_train_state(
+            k_init, self.net, ec.num_observations, ec.num_privileged_obs,
+            algo_cfg.learning_rate,
+        )
+
+        # env state + first obs (reference on_policy_runner.py:91 env.reset())
+        self.env_state, self.obs, self.priv_obs = env.reset_all(k_env)
+
+        # sharding: env axis over all devices, params replicated
+        self.mesh = device_mesh or make_env_mesh()
+        if len(self.mesh.devices.flat) > 1:
+            self.env_state = shard_env_axis(self.env_state, self.mesh)
+            self.obs = shard_env_axis(self.obs, self.mesh)
+            self.priv_obs = shard_env_axis(self.priv_obs, self.mesh)
+            self.train_state = replicate(self.train_state, self.mesh)
+
+        self._train_iter = jax.jit(
+            make_train_iter(env, self.net, algo_cfg, self.num_envs),
+            donate_argnums=(0, 1),
+        )
+
+        self.writer = None
+        self.current_learning_iteration = 0
+        self.rewbuffer = deque(maxlen=100)
+        self.lenbuffer = deque(maxlen=100)
+        self.tot_timesteps = 0
+        self.tot_time = 0.0
+        if log_dir is not None:
+            os.makedirs(log_dir, exist_ok=True)
+            self._metrics_file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir=log_dir, flush_secs=10)
+            except Exception:
+                self.writer = None
+        else:
+            self._metrics_file = None
+
+    # ------------------------------------------------------------------ #
+
+    def learn(self, num_learning_iterations: int, init_at_random_ep_len: bool = False):
+        if init_at_random_ep_len:
+            # (reference on_policy_runner.py:103-106)
+            self.key, k = jax.random.split(self.key)
+            ep_len = jax.random.randint(
+                k,
+                (self.num_envs,),
+                0,
+                self.env.max_episode_length,
+            )
+            self.env_state = self.env_state.replace(episode_length=ep_len)
+
+        start_iter = self.current_learning_iteration
+        tot_iter = start_iter + num_learning_iterations
+        steps_per_iter = self.num_steps_per_env * self.num_envs
+
+        for it in range(start_iter, tot_iter):
+            t0 = time.time()
+            self.key, k = jax.random.split(self.key)
+            (
+                self.train_state,
+                self.env_state,
+                self.obs,
+                self.priv_obs,
+                _,
+                metrics,
+            ) = self._train_iter(
+                self.train_state, self.env_state, self.obs, self.priv_obs, k
+            )
+            metrics = jax.device_get(metrics)
+            dt_iter = time.time() - t0
+            self.tot_timesteps += steps_per_iter
+            self.tot_time += dt_iter
+            self.current_learning_iteration = it + 1
+
+            n_resets = float(metrics["ep_reset_count"])
+            if n_resets > 0:
+                self.rewbuffer.append(float(metrics["ep_reward_sum"]) / n_resets)
+                self.lenbuffer.append(float(metrics["ep_len_sum"]) / n_resets)
+
+            fps = steps_per_iter / dt_iter
+            self._log(it, tot_iter, metrics, fps, dt_iter, n_resets)
+
+            if self.log_dir and (it % self.save_interval == 0):
+                self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
+        if self.log_dir:
+            self.save(
+                os.path.join(
+                    self.log_dir, f"model_{self.current_learning_iteration}.ckpt"
+                )
+            )
+
+    # ------------------------------------------------------------------ #
+
+    def _log(self, it, tot_iter, metrics, fps, dt_iter, n_resets, width=80):
+        mean_rew = statistics.mean(self.rewbuffer) if self.rewbuffer else 0.0
+        mean_len = statistics.mean(self.lenbuffer) if self.lenbuffer else 0.0
+        scalars = {
+            "Loss/value_function": float(metrics["value_loss"]),
+            "Loss/surrogate": float(metrics["surrogate_loss"]),
+            "Loss/entropy": float(metrics["entropy"]),
+            "Loss/learning_rate": float(metrics["lr"]),
+            "Loss/kl": float(metrics["kl"]),
+            "Policy/mean_noise_std": float(metrics["action_std_mean"]),
+            "Perf/total_fps": fps,
+            "Perf/iter_time": dt_iter,
+            "Train/mean_reward": mean_rew,
+            "Train/mean_episode_length": mean_len,
+            "Train/mean_step_reward": float(metrics["mean_step_reward"]),
+        }
+        # per-term episode reward means (reference Episode/rew_* scalars)
+        if n_resets > 0:
+            sums = np.asarray(metrics["ep_term_sums"])
+            for name, s in zip(self.env.reward_names, sums):
+                scalars[f"Episode/rew_{name}"] = float(s) / n_resets
+        if self.writer:
+            for k, v in scalars.items():
+                self.writer.add_scalar(k, v, it)
+        if self._metrics_file:
+            self._metrics_file.write(json.dumps({"iter": it, **scalars}) + "\n")
+            self._metrics_file.flush()
+
+        eta = (tot_iter - it - 1) * dt_iter
+        line = (
+            f"it {it}/{tot_iter} | fps {fps:,.0f} | rew {mean_rew:.2f} | "
+            f"len {mean_len:.0f} | vloss {scalars['Loss/value_function']:.3f} | "
+            f"lr {scalars['Loss/learning_rate']:.1e} | "
+            f"std {scalars['Policy/mean_noise_std']:.2f} | eta {eta/60:.1f}m"
+        )
+        print(line, flush=True)
+
+    # ------------------------------------------------------------------ #
+
+    def save(self, path: str, include_env_state: bool = False):
+        payload = {
+            "train_state": serialization.to_state_dict(
+                jax.device_get(self.train_state)
+            ),
+            "iter": self.current_learning_iteration,
+        }
+        if include_env_state:
+            payload["env_state"] = serialization.to_state_dict(
+                jax.device_get(self.env_state)
+            )
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    def load(self, path: str, load_optimizer: bool = True):
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        ts = serialization.from_state_dict(
+            jax.device_get(self.train_state), payload["train_state"]
+        )
+        if not load_optimizer:
+            ts = ts.replace(
+                opt_mu=self.train_state.opt_mu,
+                opt_nu=self.train_state.opt_nu,
+                opt_count=self.train_state.opt_count,
+            )
+        self.train_state = ts
+        if len(self.mesh.devices.flat) > 1:
+            self.train_state = replicate(self.train_state, self.mesh)
+        self.current_learning_iteration = int(payload.get("iter", 0))
+        return payload.get("infos")
+
+    def get_inference_policy(self):
+        """Deterministic policy obs -> action mean (reference
+        on_policy_runner.py:297-306)."""
+        params = jax.device_get(self.train_state.params)
+
+        @jax.jit
+        def policy(obs):
+            return self.net.apply(params, obs, method=ActorCritic.act_inference)
+
+        return policy

@@ -1,0 +1,179 @@
+"""Terrain map assembly + pure JAX height lookup.
+
+TerrainMap reproduces the reference's grid-of-subterrains layout
+(reference humanoid/utils/terrain.py:38-164): num_rows difficulty levels x
+num_cols terrain types, surrounded by a flat border, env origins at subterrain
+centers with z = max height of the central 2x2 m patch.
+
+Two synthesis menus:
+- ``style="legged"``: the base Terrain menu (slopes/rough/stairs/obstacles/
+  stepping stones/gap/pit, terrain.py:109-145)
+- ``style="humanoid"``: HumanoidTerrain's gentler menu (plane/obstacles/
+  uniform/slope+-/stairs+-, terrain.py:203-231) — the XBot-L default for
+  trimesh mode with proportions [0.2,0.2,0.4,0.1,0.1,0,0].
+
+World convention (matches reference legged_robot.py:777-795): world (x, y) in
+meters maps to grid pixel (x + border_size)/horizontal_scale along axis 0.
+Height lookup takes the min of the 3 taps (px,py), (px+1,py), (px,py+1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import primitives as P
+
+
+@dataclass
+class TerrainMap:
+    height_field: np.ndarray  # (tot_rows, tot_cols) int16
+    horizontal_scale: float
+    vertical_scale: float
+    border_size: float
+    env_origins: np.ndarray  # (num_rows, num_cols, 3) float
+    env_length: float
+    env_width: float
+    num_rows: int
+    num_cols: int
+
+    @staticmethod
+    def build(cfg, rng: np.random.Generator | None = None, style: str = "humanoid") -> "TerrainMap":
+        """cfg: config.base.TerrainCfg."""
+        rng = rng or np.random.default_rng(0)
+        w_px = int(cfg.terrain_width / cfg.horizontal_scale)
+        l_px = int(cfg.terrain_length / cfg.horizontal_scale)
+        border = int(cfg.border_size / cfg.horizontal_scale)
+        tot_rows = cfg.num_rows * l_px + 2 * border
+        tot_cols = cfg.num_cols * w_px + 2 * border
+        hf = np.zeros((tot_rows, tot_cols), dtype=np.int16)
+        origins = np.zeros((cfg.num_rows, cfg.num_cols, 3))
+        proportions = np.cumsum(cfg.terrain_proportions).tolist()
+
+        for i in range(cfg.num_rows):
+            for j in range(cfg.num_cols):
+                if cfg.curriculum:
+                    difficulty = i / cfg.num_rows
+                    choice = j / cfg.num_cols + 0.001
+                elif style == "humanoid":
+                    choice = rng.uniform(0, 1)
+                    difficulty = rng.uniform(0, 1)
+                else:
+                    choice = rng.uniform(0, 1)
+                    difficulty = rng.choice([0.5, 0.75, 0.9])
+                g = P.SubGrid(l_px, w_px, cfg.horizontal_scale, cfg.vertical_scale)
+                if style == "humanoid":
+                    _humanoid_menu(g, rng, choice, difficulty, proportions)
+                else:
+                    _legged_menu(g, rng, choice, difficulty, proportions)
+                x0 = border + i * l_px
+                y0 = border + j * w_px
+                hf[x0 : x0 + l_px, y0 : y0 + w_px] = g.hf
+                # origin: center of patch; z from the central 2x2 m
+                ox = (i + 0.5) * cfg.terrain_length
+                oy = (j + 0.5) * cfg.terrain_width
+                cx1 = int((cfg.terrain_length / 2.0 - 1) / cfg.horizontal_scale)
+                cx2 = int((cfg.terrain_length / 2.0 + 1) / cfg.horizontal_scale)
+                cy1 = int((cfg.terrain_width / 2.0 - 1) / cfg.horizontal_scale)
+                cy2 = int((cfg.terrain_width / 2.0 + 1) / cfg.horizontal_scale)
+                oz = np.max(g.hf[cx1:cx2, cy1:cy2]) * cfg.vertical_scale
+                origins[i, j] = [ox, oy, oz]
+
+        return TerrainMap(
+            height_field=hf,
+            horizontal_scale=cfg.horizontal_scale,
+            vertical_scale=cfg.vertical_scale,
+            border_size=cfg.border_size,
+            env_origins=origins,
+            env_length=cfg.terrain_length,
+            env_width=cfg.terrain_width,
+            num_rows=cfg.num_rows,
+            num_cols=cfg.num_cols,
+        )
+
+
+def _legged_menu(g, rng, choice, difficulty, prop):
+    """Base Terrain menu (reference terrain.py:109-145)."""
+    slope = difficulty * 0.4
+    step_height = 0.05 + 0.18 * difficulty
+    obstacle_h = 0.05 + difficulty * 0.2
+    stone_size = 1.5 * (1.05 - difficulty)
+    stone_dist = 0.05 if difficulty == 0 else 0.1
+    gap_size = 1.0 * difficulty
+    pit_depth = 1.0 * difficulty
+    prop = prop + [1.0] * (7 - len(prop))
+    if choice < prop[0]:
+        if choice < prop[0] / 2:
+            slope = -slope
+        P.pyramid_sloped(g, slope=slope, platform_size=3.0)
+    elif choice < prop[1]:
+        P.pyramid_sloped(g, slope=slope, platform_size=3.0)
+        P.random_uniform(g, rng, -0.05, 0.05, step=0.005, downsampled_scale=0.2)
+    elif choice < prop[3]:
+        if choice < prop[2]:
+            step_height = -step_height
+        P.pyramid_stairs(g, step_width=0.31, step_height=step_height, platform_size=3.0)
+    elif choice < prop[4]:
+        P.discrete_obstacles(g, rng, obstacle_h, 1.0, 2.0, 20, platform_size=3.0)
+    elif choice < prop[5]:
+        P.stepping_stones(g, rng, stone_size, stone_dist, max_height=0.0, platform_size=4.0)
+    elif choice < prop[6]:
+        P.gap(g, gap_size=gap_size, platform_size=3.0)
+    else:
+        P.pit(g, depth=pit_depth, platform_size=4.0)
+
+
+def _humanoid_menu(g, rng, choice, difficulty, prop):
+    """HumanoidTerrain menu (reference terrain.py:203-231)."""
+    obstacle_h = difficulty * 0.04
+    r_height = difficulty * 0.07
+    h_slope = difficulty * 0.15
+    prop = prop + [1.0] * (7 - len(prop))
+    if choice < prop[0]:
+        pass  # flat
+    elif choice < prop[1]:
+        P.discrete_obstacles(g, rng, obstacle_h, 1.0, 2.0, 20, platform_size=3.0)
+    elif choice < prop[2]:
+        P.random_uniform(g, rng, -r_height, r_height, step=0.005, downsampled_scale=0.2)
+    elif choice < prop[3]:
+        P.pyramid_sloped(g, slope=h_slope, platform_size=0.1)
+    elif choice < prop[4]:
+        P.pyramid_sloped(g, slope=-h_slope, platform_size=0.1)
+    elif choice < prop[5]:
+        P.pyramid_stairs(g, step_width=0.4, step_height=obstacle_h, platform_size=1.0)
+    elif choice < prop[6]:
+        P.pyramid_stairs(g, step_width=0.4, step_height=-obstacle_h, platform_size=1.0)
+
+
+def make_height_fn(tmap: TerrainMap):
+    """Pure JAX height lookup h(x, y) closed over the heightfield.
+
+    Reproduces the reference's sampling semantics (legged_robot.py:782-795):
+    integer floor indexing after border shift, 3-tap min filter, clip to grid.
+    Returns a function mapping world-frame (x, y) arrays -> heights (meters).
+    """
+    import jax.numpy as jnp
+
+    hf = jnp.asarray(tmap.height_field, jnp.float32)
+    inv_h = 1.0 / tmap.horizontal_scale
+    border = tmap.border_size
+    vscale = tmap.vertical_scale
+    nrow, ncol = tmap.height_field.shape
+
+    def height_fn(x: "jnp.ndarray", y: "jnp.ndarray") -> "jnp.ndarray":
+        px = jnp.clip(((x + border) * inv_h).astype(jnp.int32), 0, nrow - 2)
+        py = jnp.clip(((y + border) * inv_h).astype(jnp.int32), 0, ncol - 2)
+        h1 = hf[px, py]
+        h2 = hf[px + 1, py]
+        h3 = hf[px, py + 1]
+        return jnp.minimum(jnp.minimum(h1, h2), h3) * vscale
+
+    return height_fn
+
+
+def flat_height_fn(x, y):
+    """Plane terrain (reference mesh_type='plane', XBot default)."""
+    import jax.numpy as jnp
+
+    return jnp.zeros_like(jnp.asarray(x))

@@ -1,0 +1,72 @@
+"""Train a task (reference humanoid/scripts/train.py).
+
+Usage:
+    python scripts/train.py --task humanoid_ppo --num_envs 4096 \
+        --max_iterations 3001 --run_name v1
+
+On a multi-host TPU pod set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+JAX_PROCESS_ID (or rely on the TPU runtime's auto config) — the runner calls
+jax.distributed.initialize before building the mesh.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hgt_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+from humanoid_gym_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+
+def train(args):
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
+    from humanoid_gym_tpu import registry
+    from humanoid_gym_tpu.runner import OnPolicyRunner
+    from humanoid_gym_tpu.utils.helpers import (
+        get_load_path,
+        resolve_log_dir,
+        update_cfg_from_args,
+    )
+
+    spec = registry.get_task(args.task)
+    env_cfg = spec.make_env_cfg()
+    train_cfg = spec.make_train_cfg()
+    update_cfg_from_args(env_cfg, train_cfg, args)
+
+    log_dir = resolve_log_dir(train_cfg, root=args.log_root)
+    resume_path = None
+    if train_cfg.runner.resume:
+        # resolve before the (expensive) env build so a missing run fails fast
+        resume_path = get_load_path(
+            os.path.dirname(log_dir),
+            load_run=train_cfg.runner.load_run,
+            checkpoint=train_cfg.runner.checkpoint,
+        )
+        print(f"Will resume from: {resume_path}")
+
+    env, _ = registry.make_env(
+        args.task,
+        num_envs=env_cfg.env.num_envs,
+        cfg_overrides=lambda c: update_cfg_from_args(c, None, args),
+    )
+    runner = OnPolicyRunner(env, train_cfg, log_dir=log_dir)
+    if resume_path is not None:
+        runner.load(resume_path, load_optimizer=False)
+    runner.learn(
+        num_learning_iterations=train_cfg.runner.max_iterations,
+        init_at_random_ep_len=True,
+    )
+
+
+if __name__ == "__main__":
+    from humanoid_gym_tpu.utils.helpers import get_args
+
+    train(get_args())

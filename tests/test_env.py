@@ -1,0 +1,264 @@
+"""Golden tests for the env layer: obs layout, rewards, gait, resets.
+
+The reference has no tests (SURVEY §4); these encode its numerical contract
+(SURVEY §2.4) as deterministic assertions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from humanoid_gym_tpu.config.xbotl import XBotLCfg
+from humanoid_gym_tpu.envs import make_env
+from humanoid_gym_tpu.envs import rewards as R
+
+
+def _quiet_cfg(n=2):
+    cfg = XBotLCfg()
+    cfg.env.num_envs = n
+    cfg.noise.add_noise = False
+    cfg.domain_rand.randomize_friction = False
+    cfg.domain_rand.randomize_base_mass = False
+    cfg.domain_rand.push_robots = False
+    cfg.domain_rand.action_delay = 0.0
+    cfg.domain_rand.action_noise = 0.0
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def quiet_env():
+    cfg = _quiet_cfg()
+    return make_env(cfg), cfg
+
+
+@pytest.fixture(scope="module")
+def stepped(quiet_env):
+    env, cfg = quiet_env
+    keys = jax.random.split(jax.random.PRNGKey(0), cfg.env.num_envs)
+    state = env.init_state(keys, jnp.arange(cfg.env.num_envs))
+    step = jax.jit(env.step)
+    actions = 0.1 * jnp.ones((cfg.env.num_envs, 12))
+    states, trs = [state], []
+    for _ in range(3):
+        state, tr = step(state, actions)
+        states.append(state)
+        trs.append(tr)
+    return env, cfg, states, trs, actions
+
+
+def test_obs_layout(stepped):
+    """Actor obs frame layout (humanoid_env.py:237-244): [cmd_input(5),
+    q(12), dq(12), actions(12), ang_vel(3), euler(3)] stacked x15."""
+    env, cfg, states, trs, actions = stepped
+    state, tr = states[-1], trs[-1]
+    obs = np.asarray(tr.obs).reshape(cfg.env.num_envs, 15, 47)
+    newest = obs[:, -1, :]
+
+    ep = np.asarray(state.episode_length, np.float64)
+    phase = ep * env.dt / cfg.rewards.cycle_time
+    np.testing.assert_allclose(newest[:, 0], np.sin(2 * np.pi * phase), atol=1e-5)
+    np.testing.assert_allclose(newest[:, 1], np.cos(2 * np.pi * phase), atol=1e-5)
+    cmd = np.asarray(state.commands)
+    np.testing.assert_allclose(newest[:, 2], cmd[:, 0] * 2.0, atol=1e-5)
+    np.testing.assert_allclose(newest[:, 3], cmd[:, 1] * 2.0, atol=1e-5)
+    np.testing.assert_allclose(newest[:, 4], cmd[:, 2] * 1.0, atol=1e-5)
+    q = np.asarray(state.phys.qpos[:, 7:]) - np.asarray(env.default_dof_pos)
+    np.testing.assert_allclose(newest[:, 5:17], q, atol=1e-5)
+    dq = np.asarray(state.phys.qvel[:, 6:]) * 0.05
+    np.testing.assert_allclose(newest[:, 17:29], dq, atol=1e-5)
+    np.testing.assert_allclose(newest[:, 29:41], np.asarray(state.actions), atol=1e-5)
+    np.testing.assert_allclose(
+        newest[:, 41:44], np.asarray(state.base_ang_vel), atol=1e-5
+    )
+    np.testing.assert_allclose(newest[:, 44:47], np.asarray(state.base_euler), atol=1e-5)
+
+    # frame stacking: after 3 steps, frames 0..11 are zero, 12..14 nonzero
+    assert np.all(obs[:, :12, :] == 0)
+    assert np.any(obs[:, 12, :] != 0)
+
+
+def test_priv_obs_layout(stepped):
+    """Privileged obs frame (humanoid_env.py:219-235), 73 dims, stacked x3."""
+    env, cfg, states, trs, actions = stepped
+    state, tr = states[-1], trs[-1]
+    priv = np.asarray(tr.privileged_obs).reshape(cfg.env.num_envs, 3, 73)
+    newest = priv[:, -1, :]
+    # diff slice = dof_pos - ref_dof_pos
+    diff = np.asarray(state.phys.qpos[:, 7:]) - np.asarray(state.ref_dof_pos)
+    np.testing.assert_allclose(newest[:, 41:53], diff, atol=1e-5)
+    # base lin vel x2
+    np.testing.assert_allclose(
+        newest[:, 53:56], 2.0 * np.asarray(state.base_lin_vel), atol=1e-5
+    )
+    # friction + mass/30 slots
+    np.testing.assert_allclose(newest[:, 66], np.asarray(state.env_friction), atol=1e-5)
+    base_mass = float(env.model.body_mass[0])
+    np.testing.assert_allclose(newest[:, 67], base_mass / 30.0, rtol=1e-4)
+    # stance mask sums >= 1
+    assert np.all(newest[:, 68:70].sum(-1) >= 1.0 - 1e-6)
+
+
+def test_ref_gait_and_stance(quiet_env):
+    """Reference gait targets and stance mask (humanoid_env.py:105-142)."""
+    env, cfg = quiet_env
+    # phase=0.25 cycle -> sin=1: right leg swings (sin_r=1), left stance
+    ref = np.asarray(env._ref_dof_pos(jnp.asarray(0.25)))
+    s1 = cfg.rewards.target_joint_pos_scale
+    np.testing.assert_allclose(ref[[8, 9, 10]], [s1, 2 * s1, s1], atol=1e-6)
+    np.testing.assert_allclose(ref[[2, 3, 4]], 0.0, atol=1e-6)
+    stance = np.asarray(env._stance_mask(jnp.asarray(0.25)))
+    np.testing.assert_allclose(stance, [1.0, 0.0])
+    # double support at phase ~0 (|sin|<0.1)
+    stance0 = np.asarray(env._stance_mask(jnp.asarray(0.0)))
+    np.testing.assert_allclose(stance0, [1.0, 1.0])
+    ref0 = np.asarray(env._ref_dof_pos(jnp.asarray(0.0)))
+    np.testing.assert_allclose(ref0, 0.0, atol=1e-6)
+
+
+def test_termination_and_reset(quiet_env):
+    """Timeout reset: histories zeroed, episode_length back to 0, dof jitter
+    within +-0.1 (legged_robot.py:156-215, humanoid_env.py:264-269)."""
+    env, cfg = quiet_env
+    n = cfg.env.num_envs
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    state = env.init_state(keys, jnp.arange(n))
+    step = jax.jit(env.step)
+    state, _ = step(state, jnp.zeros((n, 12)))
+    # force timeout on env 0
+    ep = state.episode_length.at[0].set(env.max_episode_length)
+    state = state.replace(episode_length=ep)
+    state, tr = step(state, 0.3 * jnp.ones((n, 12)))
+    assert bool(tr.done[0]) and bool(tr.time_out[0])
+    assert not bool(tr.done[1])
+    assert int(state.episode_length[0]) == 0
+    # obs history: all but newest frame zeroed for env 0
+    hist = np.asarray(state.obs_history)
+    assert np.all(hist[0, :-1, :] == 0)
+    # actions zeroed (reference reset_idx)
+    assert np.all(np.asarray(state.actions[0]) == 0)
+    # dof pos back near default
+    qj = np.asarray(state.phys.qpos[0, 7:])
+    assert np.all(np.abs(qj - np.asarray(env.default_dof_pos)) <= 0.1 + 1e-5)
+    # episode stats logged
+    assert int(tr.ep_reset_count[0]) == 1
+    assert float(tr.ep_len_at_reset[0]) > 0
+
+
+def test_action_pipeline_clip(quiet_env):
+    """Actions clipped to +-18 (humanoid_config.py:226-227)."""
+    env, cfg = quiet_env
+    n = cfg.env.num_envs
+    keys = jax.random.split(jax.random.PRNGKey(2), n)
+    state = env.init_state(keys, jnp.arange(n))
+    state, tr = jax.jit(env.step)(state, 100.0 * jnp.ones((n, 12)))
+    assert np.all(np.abs(np.asarray(state.actions)) <= 18.0)
+
+
+# ------------------------- reward term golden tests ------------------------ #
+
+
+def _ctx(**over):
+    base = dict(
+        dt=0.01,
+        default_dof_pos=jnp.zeros(12),
+        cycle_time=0.64,
+        target_joint_pos_scale=0.17,
+        target_feet_height=0.06,
+        base_height_target=0.89,
+        min_dist=0.2,
+        max_dist=0.5,
+        tracking_sigma=5.0,
+        max_contact_force=700.0,
+        dof_pos=jnp.zeros(12),
+        dof_vel=jnp.zeros(12),
+        last_dof_vel=jnp.zeros(12),
+        actions=jnp.zeros(12),
+        last_actions=jnp.zeros(12),
+        last_last_actions=jnp.zeros(12),
+        torques=jnp.zeros(12),
+        base_lin_vel=jnp.zeros(3),
+        base_ang_vel=jnp.zeros(3),
+        base_euler=jnp.zeros(3),
+        projected_gravity=jnp.asarray([0.0, 0.0, -1.0]),
+        commands=jnp.zeros(4),
+        root_z=jnp.asarray(0.95),
+        root_vel=jnp.zeros(6),
+        last_root_vel=jnp.zeros(6),
+        feet_z=jnp.asarray([0.06, 0.06]),
+        feet_vel_xy=jnp.zeros((2, 2)),
+        feet_pos_xy=jnp.asarray([[0.0, 0.15], [0.0, -0.15]]),
+        knee_pos_xy=jnp.asarray([[0.0, 0.12], [0.0, -0.12]]),
+        feet_contact_force=jnp.zeros((2, 3)),
+        contact=jnp.asarray([True, True]),
+        stance_mask=jnp.asarray([1.0, 1.0]),
+        ref_dof_pos=jnp.zeros(12),
+        collision_flags=jnp.asarray([False]),
+        feet_air_time=jnp.zeros(2),
+        last_contacts=jnp.asarray([False, False]),
+        feet_height=jnp.zeros(2),
+        last_feet_z=jnp.asarray([0.01, 0.01]),
+    )
+    base.update(over)
+    return R.RewardCtx(**base)
+
+
+def test_reward_tracking():
+    ctx = _ctx(
+        commands=jnp.asarray([0.5, 0.0, 0.2, 0.0]),
+        base_lin_vel=jnp.asarray([0.4, 0.1, 0.0]),
+        base_ang_vel=jnp.asarray([0.0, 0.0, 0.1]),
+    )
+    err = (0.5 - 0.4) ** 2 + 0.1**2
+    np.testing.assert_allclose(
+        float(R.tracking_lin_vel(ctx)), np.exp(-err * 5.0), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(R.tracking_ang_vel(ctx)), np.exp(-0.01 * 5.0), rtol=1e-5
+    )
+
+
+def test_reward_low_speed_branches():
+    mk = lambda v, c: _ctx(
+        base_lin_vel=jnp.asarray([v, 0.0, 0.0]), commands=jnp.asarray([c, 0, 0, 0])
+    )
+    assert float(R.low_speed(mk(0.1, 0.5))) == -1.0  # too slow
+    assert float(R.low_speed(mk(0.7, 0.5))) == 0.0  # too fast
+    assert float(R.low_speed(mk(0.5, 0.5))) == pytest.approx(1.2)  # desired
+    assert float(R.low_speed(mk(-0.3, 0.5))) == -2.0  # sign mismatch
+    assert float(R.low_speed(mk(0.5, 0.05))) == 0.0  # tiny command gate
+
+
+def test_reward_feet_air_time_first_contact():
+    """Air time credited once at first contact, capped at 0.5 s."""
+    ctx = _ctx(
+        feet_air_time=jnp.asarray([0.3, 0.0]),
+        contact=jnp.asarray([True, False]),
+        stance_mask=jnp.asarray([0.0, 0.0]),
+        last_contacts=jnp.asarray([False, False]),
+    )
+    # foot 0: air 0.3 + dt then lands -> credit 0.31; foot 1 stays airborne
+    np.testing.assert_allclose(float(R.feet_air_time(ctx)), 0.31, rtol=1e-5)
+    fsu = R.feet_state_update(ctx)
+    np.testing.assert_allclose(np.asarray(fsu.feet_air_time), [0.0, 0.01], atol=1e-6)
+    assert list(np.asarray(fsu.last_contacts)) == [True, False]
+
+
+def test_reward_action_smoothness():
+    ctx = _ctx(
+        actions=jnp.ones(12),
+        last_actions=0.5 * jnp.ones(12),
+        last_last_actions=jnp.zeros(12),
+    )
+    t1 = 12 * 0.25
+    t2 = 12 * 0.0  # 1 + 0 - 2*0.5 = 0
+    t3 = 0.05 * 12
+    np.testing.assert_allclose(float(R.action_smoothness(ctx)), t1 + t2 + t3, rtol=1e-5)
+
+
+def test_reward_joint_pos_stale_ref():
+    """joint_pos uses the ref pose from the previous obs pass."""
+    ctx = _ctx(dof_pos=0.1 * jnp.ones(12), ref_dof_pos=jnp.zeros(12))
+    d = np.linalg.norm(0.1 * np.ones(12))
+    expect = np.exp(-2 * d) - 0.2 * np.clip(d, 0, 0.5)
+    np.testing.assert_allclose(float(R.joint_pos(ctx)), expect, rtol=1e-5)

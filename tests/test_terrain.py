@@ -1,0 +1,70 @@
+"""Terrain synthesis + height lookup tests."""
+
+import numpy as np
+
+from humanoid_gym_tpu.config.base import TerrainCfg
+from humanoid_gym_tpu.terrain import TerrainMap, make_height_fn
+from humanoid_gym_tpu.terrain import primitives as P
+
+
+def _small_cfg():
+    cfg = TerrainCfg()
+    cfg.num_rows = 3
+    cfg.num_cols = 4
+    cfg.terrain_length = 4.0
+    cfg.terrain_width = 4.0
+    cfg.border_size = 5.0
+    cfg.curriculum = True
+    cfg.terrain_proportions = [0.2, 0.2, 0.4, 0.1, 0.1, 0, 0]
+    return cfg
+
+
+def test_terrain_map_layout():
+    cfg = _small_cfg()
+    tmap = TerrainMap.build(cfg, np.random.default_rng(0))
+    l_px = int(cfg.terrain_length / cfg.horizontal_scale)
+    w_px = int(cfg.terrain_width / cfg.horizontal_scale)
+    border = int(cfg.border_size / cfg.horizontal_scale)
+    assert tmap.height_field.shape == (
+        3 * l_px + 2 * border,
+        4 * w_px + 2 * border,
+    )
+    assert tmap.env_origins.shape == (3, 4, 3)
+    # origins at patch centers
+    np.testing.assert_allclose(tmap.env_origins[0, 0, :2], [2.0, 2.0])
+    np.testing.assert_allclose(tmap.env_origins[2, 3, :2], [10.0, 14.0])
+    # border is flat zero
+    assert np.all(tmap.height_field[:border, :] == 0)
+
+
+def test_height_fn_matches_grid():
+    cfg = _small_cfg()
+    tmap = TerrainMap.build(cfg, np.random.default_rng(1))
+    hfn = make_height_fn(tmap)
+    # sample at exact grid points inside a patch; verify 3-tap min semantics
+    xs = np.asarray([0.0, 1.7, 6.3])
+    ys = np.asarray([0.0, 2.2, 9.1])
+    got = np.asarray(hfn(xs, ys))
+    for x, y, h in zip(xs, ys, got):
+        px = int((x + cfg.border_size) / cfg.horizontal_scale)
+        py = int((y + cfg.border_size) / cfg.horizontal_scale)
+        hf = tmap.height_field
+        expect = min(hf[px, py], hf[px + 1, py], hf[px, py + 1]) * cfg.vertical_scale
+        np.testing.assert_allclose(h, expect, atol=1e-6)
+
+
+def test_primitives_bounds():
+    rng = np.random.default_rng(2)
+    g = P.SubGrid(80, 80, 0.1, 0.005)
+    P.random_uniform(g, rng, -0.05, 0.05)
+    assert np.abs(g.hf).max() * 0.005 <= 0.055
+    g2 = P.SubGrid(80, 80, 0.1, 0.005)
+    P.pyramid_sloped(g2, slope=0.2, platform_size=1.0)
+    # center highest for positive slope, edge 0
+    assert g2.hf[40, 40] >= g2.hf[0, 0] == 0
+    g3 = P.SubGrid(80, 80, 0.1, 0.005)
+    P.pyramid_stairs(g3, step_width=0.4, step_height=0.05, platform_size=1.0)
+    assert g3.hf.max() > 0 and g3.hf[0, 0] == 0
+    g4 = P.SubGrid(80, 80, 0.1, 0.005)
+    P.pit(g4, depth=0.5, platform_size=2.0)
+    assert g4.hf.min() == -100  # 0.5 m / 0.005
