@@ -12,6 +12,7 @@ the JAX engine must walk in MuJoCo (BASELINE.md validation row).
 
 from __future__ import annotations
 
+import os
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Optional
@@ -81,6 +82,33 @@ def get_obs(data):
     return q, dq, quat, omega
 
 
+def _load_mj_model(path: str):
+    """Load an MJCF, tolerating MuJoCo 2.3-era attributes removed in 3.x.
+
+    The reference assets target mujoco==2.3.6 (setup.py install_requires);
+    the baked environment ships 3.x, which rejects the legacy
+    ``sensornoise``/``iterations`` option syntax. Strip what 3.x dropped and
+    load from string with the original directory as asset root.
+    """
+    import re
+
+    import mujoco
+
+    try:
+        return mujoco.MjModel.from_xml_path(path)
+    except ValueError:
+        xml = open(path).read()
+        xml = re.sub(r'\s*sensornoise="[^"]*"', "", xml)
+        xml = re.sub(r"\s*iterations='[^']*'", "", xml)
+        # resolve relative meshdir against the mjcf location
+        d = os.path.dirname(os.path.abspath(path))
+        m = re.search(r'meshdir="([^"]*)"', xml)
+        if m:
+            absdir = os.path.normpath(os.path.join(d, m.group(1)))
+            xml = xml.replace(m.group(0), f'meshdir="{absdir}"')
+        return mujoco.MjModel.from_xml_string(xml)
+
+
 def run_mujoco(policy, cfg: Sim2SimCfg, record_states: bool = False):
     """60 s closed-loop rollout (reference sim2sim.py:87-164).
 
@@ -88,7 +116,7 @@ def run_mujoco(policy, cfg: Sim2SimCfg, record_states: bool = False):
     """
     import mujoco
 
-    model = mujoco.MjModel.from_xml_path(cfg.mujoco_model_path)
+    model = _load_mj_model(cfg.mujoco_model_path)
     model.opt.timestep = cfg.sim_dt
     data = mujoco.MjData(model)
     mujoco.mj_step(model, data)
@@ -142,12 +170,15 @@ def run_mujoco(policy, cfg: Sim2SimCfg, record_states: bool = False):
         count_lowlevel += 1
 
         if step % 100 == 0:
-            heights.append(float(data.qpos[2]))
-            xs.append(float(data.qpos[0]))
+            # absolute base height from body kinematics (the MJCF free base is
+            # slide+ball joints, so qpos[2] is a *displacement*, not height)
+            base_z = float(data.xpos[1][2])
+            heights.append(base_z)
+            xs.append(float(data.xpos[1][0]))
             vxs.append(float(data.qvel[0]))
             if record_states:
                 states.append(np.array(data.qpos))
-            if fallen_at is None and data.qpos[2] < 0.3:
+            if fallen_at is None and base_z < 0.3:
                 fallen_at = step * cfg.sim_dt
 
     out = {

@@ -91,12 +91,14 @@ def test_priv_obs_layout(stepped):
     np.testing.assert_allclose(
         newest[:, 53:56], 2.0 * np.asarray(state.base_lin_vel), atol=1e-5
     )
-    # friction + mass/30 slots
-    np.testing.assert_allclose(newest[:, 66], np.asarray(state.env_friction), atol=1e-5)
+    # layout: cmd(0:5) q(5:17) dq(17:29) act(29:41) diff(41:53) linvel(53:56)
+    # angvel(56:59) euler(59:62) push_f(62:64) push_t(64:67) fric(67)
+    # mass(68) stance(69:71) contact(71:73)
+    np.testing.assert_allclose(newest[:, 67], np.asarray(state.env_friction), atol=1e-5)
     base_mass = float(env.model.body_mass[0])
-    np.testing.assert_allclose(newest[:, 67], base_mass / 30.0, rtol=1e-4)
+    np.testing.assert_allclose(newest[:, 68], base_mass / 30.0, rtol=1e-4)
     # stance mask sums >= 1
-    assert np.all(newest[:, 68:70].sum(-1) >= 1.0 - 1e-6)
+    assert np.all(newest[:, 69:71].sum(-1) >= 1.0 - 1e-6)
 
 
 def test_ref_gait_and_stance(quiet_env):

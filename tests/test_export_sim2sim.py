@@ -1,0 +1,81 @@
+"""Export + MuJoCo sim2sim path tests (BASELINE config[0]: CPU-runnable e2e).
+
+Uses the reference's shipped pretrained TorchScript actor as an oracle input
+(logs/XBot_ppo/exported/policies/policy_example.pt) to prove the deployment
+loop reproduces a working gait, and round-trips our own export formats.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REF_POLICY = "/root/reference/logs/XBot_ppo/exported/policies/policy_example.pt"
+XBOT_MJCF = "/root/reference/resources/robots/XBot/mjcf/XBot-L.xml"
+
+
+def test_numpy_policy_roundtrip(tmp_path):
+    """flax params -> npz -> NumpyPolicy == flax actor output."""
+    import jax
+    import jax.numpy as jnp
+
+    from humanoid_gym_tpu.algo.networks import ActorCritic
+    from humanoid_gym_tpu.export.policy_export import export_policy, load_policy
+
+    net = ActorCritic(num_actions=12)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 705)), jnp.zeros((1, 219)))
+    files = export_policy(jax.device_get(params), str(tmp_path), torchscript=True)
+    pol = load_policy(files[0])
+    obs = np.random.default_rng(0).normal(size=705).astype(np.float32)
+    ours = pol(obs)
+    ref = np.asarray(net.apply(params, obs[None], method=ActorCritic.act_inference))[0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    # TorchScript artifact parity, if written
+    ts = [f for f in files if f.endswith(".pt")]
+    if ts:
+        pol_ts = load_policy(ts[0])
+        np.testing.assert_allclose(pol_ts(obs), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_POLICY), reason="no reference artifact")
+def test_sim2sim_reference_policy_walks():
+    """The reference pretrained policy must walk in our MuJoCo loop —
+    validates the deployment obs contract byte-for-byte (sim2sim.py:124-148).
+    Short horizon (5 s) to keep CI fast; falling reads as height collapse."""
+    from humanoid_gym_tpu.export.policy_export import load_policy
+    from humanoid_gym_tpu.export.sim2sim import Sim2SimCfg, run_mujoco
+
+    policy = load_policy(REF_POLICY)
+    cfg = Sim2SimCfg(mujoco_model_path=XBOT_MJCF, sim_duration=5.0)
+    out = run_mujoco(policy, cfg)
+    assert out["fallen_at_s"] is None, f"robot fell: {out}"
+    assert out["mean_height"] > 0.8
+    # commanded vx=0.4: expect forward progress
+    assert out["distance_x"] > 0.5, f"no forward walk: {out}"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Save/load restores params + optimizer + lr exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from humanoid_gym_tpu.algo.networks import ActorCritic
+    from humanoid_gym_tpu.algo.ppo import init_train_state
+    from flax import serialization
+
+    net = ActorCritic(num_actions=12)
+    ts = init_train_state(jax.random.PRNGKey(0), net, 705, 219, 1e-5)
+    ts = ts.replace(lr=jnp.asarray(3e-4), iteration=jnp.asarray(7))
+    payload = {"train_state": serialization.to_state_dict(jax.device_get(ts)), "iter": 7}
+    p = tmp_path / "model_7.ckpt"
+    p.write_bytes(serialization.msgpack_serialize(payload))
+    restored = serialization.from_state_dict(
+        jax.device_get(ts), serialization.msgpack_restore(p.read_bytes())["train_state"]
+    )
+    assert float(restored.lr) == pytest.approx(3e-4)
+    assert int(restored.iteration) == 7
+    a = jax.tree.leaves(ts.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
