@@ -183,11 +183,17 @@ class HumanoidEnv:
 
     # ------------------------------------------------------------------ #
 
-    def _sample_commands(self, key, old_commands):
+    def _sample_commands(self, key, old_commands, vx_range=None):
         """Resample commands (reference legged_robot.py:322-336)."""
         cr = self.cfg.commands.ranges
         k1, k2, k3 = jax.random.split(key, 3)
-        vx = jax.random.uniform(k1, (), minval=cr.lin_vel_x[0], maxval=cr.lin_vel_x[1])
+        if vx_range is None:
+            vx = jax.random.uniform(
+                k1, (), minval=cr.lin_vel_x[0], maxval=cr.lin_vel_x[1]
+            )
+        else:
+            u = jax.random.uniform(k1, ())
+            vx = vx_range[0] + u * (vx_range[1] - vx_range[0])
         vy = jax.random.uniform(k2, (), minval=cr.lin_vel_y[0], maxval=cr.lin_vel_y[1])
         if self.cfg.commands.heading_command:
             heading = jax.random.uniform(
@@ -359,6 +365,7 @@ class HumanoidEnv:
             projected_gravity=S.quat_rotate_inverse(quat, jnp.array([0.0, 0.0, -1.0])),
             episode_sums=jnp.zeros(self.n_reward_terms),
             episode_reward=jnp.asarray(0.0),
+            cmd_vx_range=jnp.asarray(cfg.commands.ranges.lin_vel_x, jnp.float32),
             terrain_level=level,
             terrain_type=ttype,
             env_origin=origin,
@@ -401,7 +408,9 @@ class HumanoidEnv:
         # ---- callback: commands / heading / push (legged_robot.py:304-320) --
         resample = (episode_length % self.resampling_interval) == 0
         commands = jnp.where(
-            resample, self._sample_commands(k_cmd, state.commands), state.commands
+            resample,
+            self._sample_commands(k_cmd, state.commands, state.cmd_vx_range),
+            state.commands,
         )
         if cfg.commands.heading_command:
             fwd = S.quat_rotate(quat, jnp.array([1.0, 0.0, 0.0]))
@@ -518,12 +527,34 @@ class HumanoidEnv:
                 done, self.terrain_origins[level, ttype], env_origin
             )
 
+        # command curriculum (legged_robot.py:179-180,422-431): expand this
+        # env's lin_vel_x range when its tracking reward cleared 80% of max,
+        # checked once per max_episode_length steps at reset time.
+        cmd_vx_range = state.cmd_vx_range
+        if self.cfg.commands.curriculum and "tracking_lin_vel" in self.reward_names:
+            ti = self.reward_names.index("tracking_lin_vel")
+            track_scale = self.reward_scales[ti]
+            good = (
+                episode_sums[ti] / self.max_episode_length > 0.8 * track_scale
+            )
+            check = (common_step % self.max_episode_length) == 0
+            mc = self.cfg.commands.max_curriculum
+            grown = jnp.stack(
+                [
+                    jnp.clip(cmd_vx_range[0] - 0.5, -mc, 0.0),
+                    jnp.clip(cmd_vx_range[1] + 0.5, 0.0, mc),
+                ]
+            )
+            cmd_vx_range = jnp.where(done & check & good, grown, cmd_vx_range)
+
         qpos_r, qvel_r = self._reset_phys(k_reset, env_origin)
         phys = phys.replace(
             qpos=jnp.where(done, qpos_r, phys.qpos),
             qvel=jnp.where(done, qvel_r, phys.qvel),
         )
-        commands = jnp.where(done, self._sample_commands(k_rcmd, commands), commands)
+        commands = jnp.where(
+            done, self._sample_commands(k_rcmd, commands, cmd_vx_range), commands
+        )
         zero_if_done = lambda x: jnp.where(done, jnp.zeros_like(x), x)
         actions_post = zero_if_done(actions)
         last_actions = zero_if_done(state.last_actions)
@@ -638,6 +669,7 @@ class HumanoidEnv:
             projected_gravity=projected_gravity,
             episode_sums=episode_sums,
             episode_reward=episode_reward,
+            cmd_vx_range=cmd_vx_range,
             terrain_level=level,
             terrain_type=ttype,
             env_origin=env_origin,

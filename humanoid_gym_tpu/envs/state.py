@@ -72,6 +72,12 @@ class EnvState:
     # (reference on_policy_runner.py:139-151 cur_reward_sum deques)
     episode_reward: jnp.ndarray  # ()
 
+    # command curriculum: per-env lin_vel_x range (reference
+    # legged_robot.py:422-431 keeps one global range; the pure per-env
+    # variant expands each env's own range — equivalent in distribution,
+    # documented divergence)
+    cmd_vx_range: jnp.ndarray  # (2,)
+
     # terrain curriculum (reference legged_robot.py:683-708)
     terrain_level: jnp.ndarray  # () int32
     terrain_type: jnp.ndarray  # () int32
