@@ -77,12 +77,18 @@ def main():
     jax.block_until_ready(metrics["value_loss"])
     compile_s = time.time() - t0
 
+    profile_dir = os.environ.get("HGT_BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     for _ in range(iters):
         key, k = jax.random.split(key)
         ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
     jax.block_until_ready(metrics["value_loss"])
     dt = (time.time() - t0) / iters
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"# profile trace written to {profile_dir}", file=sys.stderr)
 
     fps = T * num_envs / dt
     print(

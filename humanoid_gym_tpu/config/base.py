@@ -240,7 +240,9 @@ class PhysxLikeSolverCfg:
     """Contact/constraint solver knobs (capability analog of the reference's
     PhysX block, humanoid_config.py:135-147, re-expressed for the JAX engine)."""
 
-    solver_iterations: int = 8  # PGS sweeps per physics step
+    solver_type: str = "apgd"  # 'apgd' (batched, TPU-native) or 'pgs'
+    solver_iterations: int = 24  # solver iterations per physics step
+    substep_unroll: int = 1  # lax.scan unroll of the decimation loop
     contact_offset: float = 0.01  # [m] candidate activation margin
     stabilization_time: float = 0.02  # Baumgarte time constant [s]
     max_depenetration_velocity: float = 1.0  # [m/s]

@@ -143,6 +143,8 @@ class HumanoidEnv:
             self.torque_limits,
             terrain_height_fn,
             solver_iterations=cfg.sim.solver.solver_iterations,
+            solver=cfg.sim.solver.solver_type,
+            unroll=cfg.sim.solver.substep_unroll,
         )
 
         # reward pipeline: nonzero scales, premultiplied by dt

@@ -76,8 +76,9 @@ def make_substep(
     kd: jnp.ndarray,
     torque_limit: jnp.ndarray,
     terrain_height_fn: Callable,
-    solver_iterations: int = 8,
+    solver_iterations: int = 24,
     max_depen_vel: float = 1.0,
+    solver: str = "apgd",
 ):
     """Returns substep(state, joint_targets) -> state (single env)."""
 
@@ -113,6 +114,7 @@ def make_substep(
             state.friction,
             iterations=solver_iterations,
             max_depen_vel=max_depen_vel,
+            solver=solver,
         )
         qvel_new = res.qvel_new
         # DOF velocity limits (PhysX clamps at maxVelocity; URDF <limit velocity>)
@@ -146,21 +148,31 @@ def make_physics_step(
     kd: jnp.ndarray,
     torque_limit: jnp.ndarray,
     terrain_height_fn: Callable,
-    solver_iterations: int = 8,
+    solver_iterations: int = 24,
+    solver: str = "apgd",
+    unroll: int = 1,
 ):
     """Returns step(state, joint_targets) -> state running `decimation`
     substeps at sim_dt with the targets held (100 Hz policy / 1 kHz physics,
-    reference humanoid_config.py:128-131)."""
+    reference humanoid_config.py:128-131). `unroll` trades compile time for
+    less while-loop overhead on TPU."""
 
     substep = make_substep(
-        model, sim_dt, kp, kd, torque_limit, terrain_height_fn, solver_iterations
+        model,
+        sim_dt,
+        kp,
+        kd,
+        torque_limit,
+        terrain_height_fn,
+        solver_iterations,
+        solver=solver,
     )
 
     def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
         def body(st, _):
             return substep(st, targets), None
 
-        out, _ = jax.lax.scan(body, state, None, length=decimation)
+        out, _ = jax.lax.scan(body, state, None, length=decimation, unroll=unroll)
         return out
 
     return step

@@ -1,0 +1,131 @@
+"""Contact solver tests: APGD (TPU-native) vs PGS (oracle) on random
+problems, plus standing equilibrium through the full substep pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from humanoid_gym_tpu.physics.contact import apgd_solve, pgs_solve
+
+
+def _random_problem(rng, n_points=4, nlim=3):
+    """SPD Delassus + random free velocity with some penetrating contacts."""
+    nrow = 3 * n_points + nlim
+    B = rng.normal(size=(nrow, nrow))
+    A = B @ B.T / nrow + 0.5 * np.eye(nrow)
+    u0 = rng.normal(size=nrow) * 2.0
+    lo = rng.uniform(-0.5, 0.5, n_points)  # mixed active/inactive rows
+    sign = np.where(rng.normal(size=nlim) > 0, 1.0, -1.0)
+    lb = rng.uniform(-1e9, 0.1, nlim)
+    return (
+        jnp.asarray(A),
+        jnp.asarray(u0),
+        jnp.asarray(lo),
+        jnp.asarray(sign),
+        jnp.asarray(lb),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_frictionless_complementarity(seed):
+    """mu=0: the problem is a plain LCP where both solvers must satisfy
+    complementarity exactly and agree with each other."""
+    rng = np.random.default_rng(seed)
+    A, u0, lo, sign, lb = _random_problem(rng)
+    mu = jnp.asarray(0.0)
+    n_points = lo.shape[0]
+
+    lam_pgs = pgs_solve(A, u0, n_points, lo, sign, lb, mu, iterations=300)
+    lam_apgd = apgd_solve(A, u0, n_points, lo, sign, lb, mu, iterations=600)
+
+    for lam in (lam_pgs, lam_apgd):
+        u = np.asarray(A @ lam + u0)
+        for k in range(n_points):
+            nrm = 3 * k + 2
+            ln = float(lam[nrm])
+            assert ln >= -1e-6
+            assert u[nrm] >= float(lo[k]) - 2e-3
+            if ln > 1e-3:
+                assert u[nrm] <= float(lo[k]) + 2e-2
+    # unique LCP solution -> normal impulses agree
+    idx = np.arange(n_points) * 3 + 2
+    np.testing.assert_allclose(
+        np.asarray(lam_apgd)[idx], np.asarray(lam_pgs)[idx], rtol=0.05, atol=2e-2
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_frictional_agreement_on_robot(xbot_model, seed):
+    """On *physically structured* problems (the actual robot resting/moving on
+    a plane) PGS and APGD resolve to nearly the same post-contact velocity.
+    (On adversarial dense random systems the VI and CCP relaxations genuinely
+    differ — that gap is a model property, not a solver bug.)"""
+    import jax
+
+    from humanoid_gym_tpu.physics.contact import resolve_contacts
+    from humanoid_gym_tpu.physics.dynamics import compute_dynamics
+    from humanoid_gym_tpu.terrain.terrain import flat_height_fn
+
+    m = xbot_model
+    rng = np.random.default_rng(seed)
+    qj = rng.uniform(-0.1, 0.1, 12)
+    qpos = jnp.concatenate(
+        [jnp.asarray([0.0, 0.0, 0.858]), jnp.asarray([1.0, 0, 0, 0]), jnp.asarray(qj)]
+    )
+    qvel = jnp.asarray(rng.normal(size=18) * 0.3)
+    dyn = compute_dynamics(m, qpos, qvel, 0.001, jnp.full(12, 10.0), jnp.ones(13))
+    v_free = qvel + jnp.asarray(rng.normal(size=18) * 0.01)
+    mu = jnp.asarray(0.7)
+
+    r_pgs = resolve_contacts(
+        m, dyn, qpos, v_free, flat_height_fn, 0.001, mu, iterations=100, solver="pgs"
+    )
+    r_apgd = resolve_contacts(
+        m, dyn, qpos, v_free, flat_height_fn, 0.001, mu, iterations=200, solver="apgd"
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_apgd.qvel_new), np.asarray(r_pgs.qvel_new), atol=0.05
+    )
+    # total normal impulse close
+    fz_pgs = float(jnp.sum(r_pgs.impulses[:, 2]))
+    fz_apgd = float(jnp.sum(r_apgd.impulses[:, 2]))
+    assert fz_apgd == pytest.approx(fz_pgs, rel=0.1, abs=1e-3)
+
+
+def test_apgd_friction_cone_respected():
+    rng = np.random.default_rng(9)
+    A, u0, lo, sign, lb = _random_problem(rng)
+    mu = jnp.asarray(0.5)
+    lam = np.asarray(apgd_solve(A, u0, lo.shape[0], lo, sign, lb, mu, 300))
+    for k in range(lo.shape[0]):
+        t = lam[3 * k : 3 * k + 2]
+        n = lam[3 * k + 2]
+        assert np.linalg.norm(t) <= 0.5 * n + 1e-5
+    # limit rows signed correctly
+    lim = lam[3 * lo.shape[0] :]
+    assert np.all(lim * np.asarray(sign) >= -1e-6)
+
+
+def test_standing_equilibrium_apgd(xbot_model):
+    """Full substep with APGD: robot standing at default pose must be held
+    by contact forces ~ weight after settling."""
+    from humanoid_gym_tpu.physics.step import default_state, make_physics_step
+    from humanoid_gym_tpu.terrain.terrain import flat_height_fn
+
+    m = xbot_model
+    kp = jnp.asarray([200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15], jnp.float32)
+    kd = jnp.full(12, 10.0)
+    tl = m.dof_effort * 0.85
+    step = make_physics_step(
+        m, 0.001, 10, kp, kd, tl, flat_height_fn, solver_iterations=24, solver="apgd"
+    )
+    st = default_state(m, jnp.asarray([0.0, 0.0, 0.95]), jnp.asarray([1.0, 0, 0, 0]))
+    stepj = jax.jit(step)
+    for _ in range(30):  # 0.3 s
+        st = stepj(st, jnp.zeros(12))
+    total_fz = float(jnp.sum(st.contact_forces[:, 2]))
+    weight = float(jnp.sum(m.body_mass)) * 9.81
+    assert total_fz == pytest.approx(weight, rel=0.25), (total_fz, weight)
+    # still upright
+    assert float(st.qpos[2]) > 0.6
