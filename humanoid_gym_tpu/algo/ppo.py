@@ -297,14 +297,20 @@ def make_train_iter(
             flat(roll.mu),
             flat(roll.sigma),
         )
-        # one permutation shared by all epochs (rollout_storage.py:149)
+        # one permutation shared by all epochs (rollout_storage.py:149),
+        # applied ONCE so minibatches become contiguous slices — a single
+        # gather over the big (T*N, obs) tensors instead of one per
+        # minibatch per epoch (HBM-bandwidth hot spot at 4096 envs)
         perm = jax.random.permutation(k_perm, batch)
+        data = tuple(x[perm] for x in data)
 
         metrics_acc = None
         for _ in range(cfg.num_learning_epochs):
             for i in range(cfg.num_mini_batches):
-                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
-                mb = tuple(x[idx] for x in data)
+                mb = tuple(
+                    jax.lax.dynamic_slice_in_dim(x, i * mb_size, mb_size)
+                    for x in data
+                )
                 ts, mets = minibatch_update(ts, mb)
                 if metrics_acc is None:
                     metrics_acc = {k: v for k, v in mets.items()}

@@ -241,7 +241,7 @@ class PhysxLikeSolverCfg:
     PhysX block, humanoid_config.py:135-147, re-expressed for the JAX engine)."""
 
     solver_type: str = "apgd"  # 'apgd' (batched, TPU-native) or 'pgs'
-    solver_iterations: int = 24  # solver iterations per physics step
+    solver_iterations: int = 16  # solver iterations per physics step
     substep_unroll: int = 1  # lax.scan unroll of the decimation loop
     contact_offset: float = 0.01  # [m] candidate activation margin
     stabilization_time: float = 0.02  # Baumgarte time constant [s]

@@ -291,6 +291,14 @@ def resolve_contacts(
     u0 = setup.J @ v_free
     if solver == "apgd":
         lam = apgd_solve(A, u0, K, setup.lo_bound, sign, lb, mu, iterations)
+    elif solver in ("apgd_pallas", "apgd_pallas_interpret"):
+        from .pallas_solver import N_POINTS, make_apgd_batched
+
+        assert K == N_POINTS, f"pallas solver is built for {N_POINTS} contacts"
+        solve = make_apgd_batched(
+            iterations, interpret=solver.endswith("interpret")
+        )
+        lam = solve(A, u0, setup.lo_bound, sign, lb, mu)
     else:
         lam = pgs_solve(A, u0, K, setup.lo_bound, sign, lb, mu, iterations)
     qvel_new = v_free + W @ lam

@@ -102,6 +102,55 @@ def bias_forces(
     return jnp.einsum("biv,bi->v", J_ang, f_ang) + jnp.einsum("biv,bi->v", J_lin, f_lin)
 
 
+@f32_matmul
+def bias_forces_explicit(
+    model: RobotModel,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+    k: FK,
+    mask: jnp.ndarray,
+    mass_scale: jnp.ndarray,
+) -> jnp.ndarray:
+    """h(q,v) via explicit velocity/bias-acceleration propagation down the
+    tree (one pass; no AD). Equivalent to bias_forces (cross-checked in
+    tests/test_physics_oracle.py) but ~2 fewer FK evaluations per call —
+    the dynamics is on the 1 kHz hot path, so op-chain length matters on TPU.
+
+    World-frame recursion with qacc=0 (body origins sit at joint pivots):
+      omega_b = omega_p + a_w qd        alpha_b = alpha_p + (omega_p x a_w) qd
+      v_b = v_p + omega_p x r           a_b = a_p + alpha_p x r + omega_p x (omega_p x r)
+    """
+    omegas = [qvel[3:6]]
+    alphas = [jnp.zeros(3, qpos.dtype)]
+    v_orig = [qvel[0:3]]
+    a_orig = [jnp.zeros(3, qpos.dtype)]
+    for i, parent in enumerate(model.body_parent[1:]):
+        w_p, al_p = omegas[parent], alphas[parent]
+        v_p, a_p = v_orig[parent], a_orig[parent]
+        r = k.pivot_w[i] - k.p[parent]
+        wxr = jnp.cross(w_p, r)
+        a_w = k.axis_w[i]
+        qd = qvel[6 + i]
+        omegas.append(w_p + a_w * qd)
+        alphas.append(al_p + jnp.cross(w_p, a_w) * qd)
+        v_orig.append(v_p + wxr)
+        a_orig.append(a_p + jnp.cross(al_p, r) + jnp.cross(w_p, wxr))
+    omega = jnp.stack(omegas)
+    alpha = jnp.stack(alphas)
+    v_o = jnp.stack(v_orig)
+    a_o = jnp.stack(a_orig)
+    rc = k.com - k.p
+    a_com = a_o + jnp.cross(alpha, rc) + jnp.cross(omega, jnp.cross(omega, rc))
+
+    I_w, m = world_inertias(model, k, mass_scale)
+    f_ang = jnp.einsum("bij,bj->bi", I_w, alpha) + jnp.cross(
+        omega, jnp.einsum("bij,bj->bi", I_w, omega)
+    )
+    f_lin = m[:, None] * (a_com - model.gravity[None, :])
+    J_ang, J_lin = body_jacobians(model, k, mask)
+    return jnp.einsum("biv,bi->v", J_ang, f_ang) + jnp.einsum("biv,bi->v", J_lin, f_lin)
+
+
 class Dyn(NamedTuple):
     k: FK
     M: jnp.ndarray  # (nv,nv) (without implicit damping)
@@ -122,7 +171,7 @@ def compute_dynamics(
     k = fk(model, qpos)
     mask = ancestor_mask(model)
     M = mass_matrix(model, k, mask, mass_scale)
-    h = bias_forces(model, qpos, qvel, k, mask, mass_scale)
+    h = bias_forces_explicit(model, qpos, qvel, k, mask, mass_scale)
     D = jnp.concatenate([jnp.zeros(6, M.dtype), implicit_damping])
     Mt = M + dt * jnp.diag(D)
     chol = jnp.linalg.cholesky(Mt)

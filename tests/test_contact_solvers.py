@@ -129,3 +129,41 @@ def test_standing_equilibrium_apgd(xbot_model):
     assert total_fz == pytest.approx(weight, rel=0.25), (total_fz, weight)
     # still upright
     assert float(st.qpos[2]) > 0.6
+
+
+def test_pallas_apgd_matches_xla(xbot_model):
+    """The Pallas kernel (interpret mode on CPU) must match the XLA APGD
+    loop on a batch of real robot contact problems."""
+    import jax
+
+    from humanoid_gym_tpu.physics.contact import resolve_contacts
+    from humanoid_gym_tpu.physics.dynamics import compute_dynamics
+    from humanoid_gym_tpu.terrain.terrain import flat_height_fn
+
+    m = xbot_model
+    rng = np.random.default_rng(3)
+    N = 4
+    qpos = []
+    qvel = []
+    for _ in range(N):
+        qj = rng.uniform(-0.1, 0.1, 12)
+        qpos.append(
+            np.concatenate([[0.0, 0.0, 0.85 + 0.02 * rng.normal()], [1, 0, 0, 0], qj])
+        )
+        qvel.append(rng.normal(size=18) * 0.3)
+    qpos = jnp.asarray(np.stack(qpos), jnp.float32)
+    qvel = jnp.asarray(np.stack(qvel), jnp.float32)
+    mu = jnp.full((N,), 0.7)
+
+    def solve(qp, qv, mu_i, solver):
+        dyn = compute_dynamics(m, qp, qv, 0.001, jnp.full(12, 10.0), jnp.ones(13))
+        return resolve_contacts(
+            m, dyn, qp, qv, flat_height_fn, 0.001, mu_i,
+            iterations=50, solver=solver,
+        ).qvel_new
+
+    v_xla = jax.vmap(lambda a, b, c: solve(a, b, c, "apgd"))(qpos, qvel, mu)
+    v_pls = jax.vmap(lambda a, b, c: solve(a, b, c, "apgd_pallas_interpret"))(
+        qpos, qvel, mu
+    )
+    np.testing.assert_allclose(np.asarray(v_pls), np.asarray(v_xla), atol=2e-4)

@@ -92,6 +92,25 @@ def test_mass_matrix_matches_mujoco(xbot_model, mj_oracle, seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bias_forces_explicit_matches_ad(xbot_model, seed):
+    """The explicit propagation (hot path) must equal the AD derivation."""
+    rng = np.random.default_rng(seed + 100)
+    pos, quat, qj, qvel = random_state(rng)
+    qpos = jnp.concatenate([jnp.array(pos), jnp.array(quat), jnp.array(qj)])
+    kin = K.fk(xbot_model, qpos)
+    mask = K.ancestor_mask(xbot_model)
+    h_ad = np.array(
+        D.bias_forces(xbot_model, qpos, jnp.array(qvel), kin, mask, jnp.ones(13))
+    )
+    h_ex = np.array(
+        D.bias_forces_explicit(
+            xbot_model, qpos, jnp.array(qvel), kin, mask, jnp.ones(13)
+        )
+    )
+    np.testing.assert_allclose(h_ex, h_ad, atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
 def test_bias_forces_match_mujoco(xbot_model, mj_oracle, seed):
     rng = np.random.default_rng(seed)
     pos, quat, qj, qvel = random_state(rng)
