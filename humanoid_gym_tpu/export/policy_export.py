@@ -55,6 +55,18 @@ def export_policy(params, path: str, torchscript: bool = True) -> List[str]:
     np.savez(f_npz, **npz)
     written.append(f_npz)
 
+    # flat binary for the native (C++) evaluator: "HGTP", n_layers, then per
+    # layer (in_dim, out_dim) int32 + row-major float32 W + float32 b
+    f_bin = os.path.join(path, "policy.bin")
+    with open(f_bin, "wb") as f:
+        f.write(b"HGTP")
+        f.write(np.asarray([len(layers)], np.int32).tobytes())
+        for W, b in layers:
+            f.write(np.asarray(W.shape, np.int32).tobytes())
+            f.write(np.ascontiguousarray(W, np.float32).tobytes())
+            f.write(np.ascontiguousarray(b, np.float32).tobytes())
+    written.append(f_bin)
+
     if torchscript:
         try:
             written.append(_export_torchscript(layers, path))

@@ -79,3 +79,38 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree.leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_POLICY), reason="no reference artifact")
+def test_native_eval_farm():
+    """C++ batch evaluator: reference policy must walk in parallel rollouts
+    (independent reimplementation of the deployment obs contract)."""
+    import shutil
+
+    import torch
+
+    from humanoid_gym_tpu.export.native_eval import run_eval_farm
+
+    if shutil.which("make") is None:
+        pytest.skip("no make")
+    # convert the reference TorchScript actor to the flat bin format
+    mod = torch.jit.load(REF_POLICY, map_location="cpu")
+    ws = {n: p.detach().numpy() for n, p in mod.named_parameters()}
+    idxs = sorted({int(n.split(".")[0]) for n in ws})
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    bin_path = os.path.join(d, "policy.bin")
+    with open(bin_path, "wb") as f:
+        f.write(b"HGTP")
+        f.write(np.asarray([len(idxs)], np.int32).tobytes())
+        for i in idxs:
+            W = ws[f"{i}.weight"].T
+            b = ws[f"{i}.bias"]
+            f.write(np.asarray(W.shape, np.int32).tobytes())
+            f.write(np.ascontiguousarray(W, np.float32).tobytes())
+            f.write(np.ascontiguousarray(b, np.float32).tobytes())
+
+    out = run_eval_farm(XBOT_MJCF, bin_path, rollouts=4, duration=3.0)
+    assert out["summary"]["survived"] == 4, out
+    assert out["summary"]["mean_distance_x"] > 0.5, out
