@@ -52,10 +52,16 @@ def train(args):
         )
         print(f"Will resume from: {resume_path}")
 
+    def overrides(c):
+        update_cfg_from_args(c, None, args)
+        # solver override for experiments (e.g. HGT_SOLVER=apgd_pallas)
+        if os.environ.get("HGT_SOLVER"):
+            c.sim.solver.solver_type = os.environ["HGT_SOLVER"]
+
     env, _ = registry.make_env(
         args.task,
         num_envs=env_cfg.env.num_envs,
-        cfg_overrides=lambda c: update_cfg_from_args(c, None, args),
+        cfg_overrides=overrides,
     )
     runner = OnPolicyRunner(env, train_cfg, log_dir=log_dir)
     if resume_path is not None:
