@@ -68,28 +68,54 @@ class OnPolicyRunner:
             algo_cfg.learning_rate,
         )
 
-        # env state + first obs (reference on_policy_runner.py:91 env.reset())
-        self.env_state, self.obs, self.priv_obs = env.reset_all(k_env)
-
         # sharding: env axis over all devices, params replicated
         self.mesh = device_mesh or make_env_mesh()
-        if len(self.mesh.devices.flat) > 1:
-            self.env_state = shard_env_axis(self.env_state, self.mesh)
-            self.obs = shard_env_axis(self.obs, self.mesh)
-            self.priv_obs = shard_env_axis(self.priv_obs, self.mesh)
+        multi_process = jax.process_count() > 1
+
+        # env state + first obs (reference on_policy_runner.py:91 env.reset())
+        if multi_process:
+            # each host initializes only its env block; global arrays are
+            # assembled from per-host shards (parallel/multihost.py)
+            import numpy as np
+
+            from ..parallel.multihost import assemble_global, host_sharded_env_state
+
+            state = host_sharded_env_state(env, k_env, self.mesh)
+            start, count = 0, self.num_envs // jax.process_count()
+            zeros = lambda d: assemble_global(
+                np.zeros((count, d), np.float32), self.mesh
+            )
             self.train_state = replicate(self.train_state, self.mesh)
+            actions0 = zeros(ec.num_actions)
+            state, tr = jax.jit(env.step)(state, actions0)
+            self.env_state, self.obs, self.priv_obs = (
+                state,
+                tr.obs,
+                tr.privileged_obs,
+            )
+        else:
+            self.env_state, self.obs, self.priv_obs = env.reset_all(k_env)
+            if len(self.mesh.devices.flat) > 1:
+                self.env_state = shard_env_axis(self.env_state, self.mesh)
+                self.obs = shard_env_axis(self.obs, self.mesh)
+                self.priv_obs = shard_env_axis(self.priv_obs, self.mesh)
+                self.train_state = replicate(self.train_state, self.mesh)
 
         self._train_iter = jax.jit(
             make_train_iter(env, self.net, algo_cfg, self.num_envs),
             donate_argnums=(0, 1),
         )
 
+        self.is_main_process = jax.process_index() == 0
         self.writer = None
         self.current_learning_iteration = 0
         self.rewbuffer = deque(maxlen=100)
         self.lenbuffer = deque(maxlen=100)
         self.tot_timesteps = 0
         self.tot_time = 0.0
+        if log_dir is not None and not self.is_main_process:
+            log_dir = None  # only host 0 writes logs/checkpoints
+            self.log_dir = None
         if log_dir is not None:
             os.makedirs(log_dir, exist_ok=True)
             self._metrics_file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
@@ -108,12 +134,20 @@ class OnPolicyRunner:
         if init_at_random_ep_len:
             # (reference on_policy_runner.py:103-106)
             self.key, k = jax.random.split(self.key)
-            ep_len = jax.random.randint(
-                k,
-                (self.num_envs,),
-                0,
-                self.env.max_episode_length,
+            ep_len_all = jax.random.randint(
+                k, (self.num_envs,), 0, self.env.max_episode_length
             )
+            if jax.process_count() > 1:
+                import numpy as np
+
+                from ..parallel.multihost import assemble_global, local_env_slice
+
+                start, count = local_env_slice(self.num_envs)
+                ep_len = assemble_global(
+                    np.asarray(ep_len_all)[start : start + count], self.mesh
+                )
+            else:
+                ep_len = ep_len_all
             self.env_state = self.env_state.replace(episode_length=ep_len)
 
         start_iter = self.current_learning_iteration
@@ -186,6 +220,8 @@ class OnPolicyRunner:
             self._metrics_file.write(json.dumps({"iter": it, **scalars}) + "\n")
             self._metrics_file.flush()
 
+        if not self.is_main_process:
+            return
         eta = (tot_iter - it - 1) * dt_iter
         line = (
             f"it {it}/{tot_iter} | fps {fps:,.0f} | rew {mean_rew:.2f} | "
