@@ -51,5 +51,33 @@ def _register_builtin():
 
     register("humanoid_ppo", XBotLCfg, XBotLCfgPPO)
 
+    # BASELINE config ladder variants
+    def small_flat():  # config[1]: 256 envs, flat, short horizon
+        cfg = XBotLCfg()
+        cfg.env.num_envs = 256
+        cfg.env.episode_length_s = 12.0
+        return cfg
+
+    def small_flat_ppo():
+        cfg = XBotLCfgPPO()
+        cfg.runner.max_iterations = 500
+        cfg.runner.experiment_name = "XBot_ppo_small"
+        return cfg
+
+    register("humanoid_ppo_small", small_flat, small_flat_ppo)
+
+    def terrain():  # config[3]: trimesh curriculum + push + full DR
+        cfg = XBotLCfg()
+        cfg.terrain.mesh_type = "trimesh"
+        cfg.terrain.curriculum = True
+        return cfg
+
+    def terrain_ppo():
+        cfg = XBotLCfgPPO()
+        cfg.runner.experiment_name = "XBot_ppo_terrain"
+        return cfg
+
+    register("humanoid_ppo_terrain", terrain, terrain_ppo)
+
 
 _register_builtin()
