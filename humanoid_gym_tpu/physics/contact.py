@@ -286,8 +286,12 @@ def resolve_contacts(
     sign, lb = joint_limit_bounds(model, qpos, dt)
     K = setup.phi.shape[0]
 
-    W = solve_mtilde(dyn.Mtilde_chol, setup.J.T)  # (nv, nrow)
-    A = setup.J @ W  # (nrow, nrow)
+    # A = J Mtilde^-1 J^T via the half-factor B = L^-1 J^T: one triangular
+    # solve instead of two (A = B^T B), and the post-solve velocity update
+    # needs only L^-T (B lam).
+    L = dyn.Mtilde_chol
+    B = jax.scipy.linalg.solve_triangular(L, setup.J.T, lower=True)  # (nv,nrow)
+    A = B.T @ B  # (nrow, nrow)
     u0 = setup.J @ v_free
     if solver == "apgd":
         lam = apgd_solve(A, u0, K, setup.lo_bound, sign, lb, mu, iterations)
@@ -301,7 +305,9 @@ def resolve_contacts(
         lam = solve(A, u0, setup.lo_bound, sign, lb, mu)
     else:
         lam = pgs_solve(A, u0, K, setup.lo_bound, sign, lb, mu, iterations)
-    qvel_new = v_free + W @ lam
+    qvel_new = v_free + jax.scipy.linalg.solve_triangular(
+        L.T, B @ lam, lower=False
+    )
     return ContactResult(
         qvel_new=qvel_new,
         impulses=lam[: 3 * K].reshape(K, 3),
