@@ -50,8 +50,12 @@ class ActorCritic(nn.Module):
         return mean, self.std, value
 
     def act(self, obs):
-        """Policy distribution parameters (reference actor_critic.py:111-120)."""
-        return self.actor(obs), self.std
+        """Policy distribution parameters (reference actor_critic.py:111-120).
+
+        The std is a raw learned parameter as in the reference; a small floor
+        guards the log/KL math against a gradient step pushing a component
+        nonpositive (a known rsl_rl-family failure mode)."""
+        return self.actor(obs), jnp.maximum(self.std, 1e-3)
 
     def evaluate(self, priv_obs):
         """State value (reference actor_critic.py:126-127)."""

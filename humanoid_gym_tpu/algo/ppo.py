@@ -187,6 +187,7 @@ def make_train_iter(
                 tr.ep_reset_count,
                 tr.ep_len_at_reset,
                 tr.ep_reward_at_reset,
+                tr.nonfinite,
                 tr.terrain_level,
             )
             return (new_env_state, tr.obs, tr.privileged_obs, key), (data, info)
@@ -236,7 +237,9 @@ def make_train_iter(
             mean, std = actor_apply(params, obs)
             value = critic_apply(params, priv)
             logp = normal_log_prob(mean, std, act)
-            ratio = jnp.exp(logp - old_logp)
+            # overflow guard only — the clipped-surrogate min/max bounds the
+            # objective long before |delta|=20 matters
+            ratio = jnp.exp(jnp.clip(logp - old_logp, -20.0, 20.0))
             surr = -adv * ratio
             surr_clipped = -adv * jnp.clip(
                 ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param
@@ -262,10 +265,15 @@ def make_train_iter(
             return total, (surrogate_loss, value_loss, jnp.mean(entropy))
 
         grads, (surr_l, val_l, ent) = jax.grad(loss_fn, has_aux=True)(ts.params)
-        # global grad-norm clip (ppo.py:173)
+        # global grad-norm clip (ppo.py:173); a non-finite norm zeroes the
+        # update (drop the poisoned minibatch instead of NaN-ing the params)
         gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(gnorm)
         scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-12))
-        grads = jax.tree.map(lambda g: g * scale, grads)
+        # NaN*0 is still NaN — select zero outright for poisoned minibatches
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok, g * scale, jnp.zeros_like(g)), grads
+        )
         params, mu, nu, count = _adam_step(
             ts.params, grads, ts.opt_mu, ts.opt_nu, ts.opt_count, lr
         )
@@ -321,13 +329,14 @@ def make_train_iter(
         n_updates = cfg.num_learning_epochs * cfg.num_mini_batches
         metrics = {k: v / n_updates for k, v in metrics_acc.items()}
 
-        step_rewards, ep_sums, ep_resets, ep_lens, ep_rews, terr_lvl = infos
+        step_rewards, ep_sums, ep_resets, ep_lens, ep_rews, nonfin, terr_lvl = infos
         metrics.update(
             mean_step_reward=jnp.mean(step_rewards),
             ep_term_sums=jnp.sum(ep_sums, axis=(0, 1)),  # (n_terms,)
             ep_reset_count=jnp.sum(ep_resets),
             ep_len_sum=jnp.sum(ep_lens),
             ep_reward_sum=jnp.sum(ep_rews),
+            nonfinite_resets=jnp.sum(nonfin),
             mean_terrain_level=jnp.mean(terr_lvl),
             lr=ts.lr,
             action_std_mean=jnp.mean(

@@ -63,6 +63,7 @@ class Transition:
     ep_reset_count: jnp.ndarray  # () int32
     ep_len_at_reset: jnp.ndarray  # () float
     ep_reward_at_reset: jnp.ndarray  # () float
+    nonfinite: jnp.ndarray  # () int32 — env exploded and was auto-reset
     terrain_level: jnp.ndarray  # () float
 
 
@@ -399,6 +400,11 @@ class HumanoidEnv:
         phys = self._phys_step(state.phys, targets)
 
         # ---- post-physics base quantities (legged_robot.py:128-136) ----
+        # non-finite guard computed up front: an exploded env auto-resets and
+        # its garbage must not leak into commands/rewards/observations
+        finite = jnp.all(jnp.isfinite(phys.qpos)) & jnp.all(
+            jnp.isfinite(phys.qvel)
+        )
         episode_length = state.episode_length + 1
         common_step = state.common_step + 1
         quat = phys.qpos[3:7]
@@ -417,9 +423,8 @@ class HumanoidEnv:
         if cfg.commands.heading_command:
             fwd = S.quat_rotate(quat, jnp.array([1.0, 0.0, 0.0]))
             heading = jnp.arctan2(fwd[1], fwd[0])
-            commands = commands.at[2].set(
-                jnp.clip(0.5 * S.wrap_to_pi(commands[3] - heading), -1.0, 1.0)
-            )
+            cmd_yaw = jnp.clip(0.5 * S.wrap_to_pi(commands[3] - heading), -1.0, 1.0)
+            commands = commands.at[2].set(jnp.where(finite, cmd_yaw, 0.0))
 
         rand_push_force, rand_push_torque = state.rand_push_force, state.rand_push_torque
         if cfg.domain_rand.push_robots:
@@ -450,9 +455,21 @@ class HumanoidEnv:
         term_flags, pen_flags = self._probe_flags(kfk)
 
         # ---- termination (legged_robot.py:156-161) ----
-        contact_term = jnp.any(term_flags)
+        # (plus the non-finite auto-reset; the reference has no equivalent —
+        # PhysX clamps internally)
+        contact_term = jnp.any(term_flags) | ~finite
         time_out = episode_length > self.max_episode_length
         done = contact_term | time_out
+        # scrub NaN-derived quantities so they cannot reach rewards/obs
+        safe = lambda x, d=0.0: jnp.where(
+            finite, jnp.nan_to_num(x, nan=d, posinf=d, neginf=d), jnp.full_like(x, d)
+        )
+        base_lin_vel = safe(base_lin_vel)
+        base_ang_vel = safe(base_ang_vel)
+        base_euler = safe(base_euler)
+        projected_gravity = jnp.where(
+            finite, projected_gravity, jnp.asarray([0.0, 0.0, -1.0])
+        )
 
         # ---- rewards (legged_robot.py:217-235) ----
         phase_rew = self._gait_phase(episode_length)
@@ -497,6 +514,7 @@ class HumanoidEnv:
             last_feet_z=state.last_feet_z,
         )
         term_values = jnp.stack([fn(ctx) for fn in self._reward_fns])
+        term_values = jnp.where(finite, term_values, 0.0)
         scaled = term_values * self.reward_scales
         episode_sums = state.episode_sums + scaled
         reward = jnp.sum(scaled)
@@ -506,6 +524,12 @@ class HumanoidEnv:
             reward = reward + self.termination_scale * (done & ~time_out)
 
         fsu = R.feet_state_update(ctx)
+        fsu = R.FeetStateUpdate(
+            feet_air_time=jnp.where(finite, fsu.feet_air_time, 0.0),
+            last_contacts=fsu.last_contacts & finite,
+            feet_height=jnp.where(finite, fsu.feet_height, 0.0),
+            last_feet_z=jnp.where(finite, fsu.last_feet_z, 0.05),
+        )
 
         # ---- masked auto-reset (legged_robot.py:163-215) ----
         # terrain curriculum (legged_robot.py:400-420)
@@ -687,6 +711,7 @@ class HumanoidEnv:
             ep_reset_count=done.astype(jnp.int32),
             ep_len_at_reset=ep_len_at_reset,
             ep_reward_at_reset=ep_reward_at_reset,
+            nonfinite=(~finite).astype(jnp.int32),
             terrain_level=level.astype(jnp.float32),
         )
         return new_state, trans

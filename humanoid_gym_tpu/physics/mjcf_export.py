@@ -16,7 +16,23 @@ from .urdf import mat_to_quat_wxyz
 from .model import RobotModel
 
 
-def model_to_mjcf(model: RobotModel, armature: float = 0.0) -> str:
+def model_to_mjcf(
+    model: RobotModel,
+    armature: float = 0.0,
+    with_contacts: bool = False,
+    friction: float = 0.7,
+    joint_damping=None,
+) -> str:
+    """with_contacts=True adds a ground plane + small spheres at the exact
+    16 sole contact candidates, for trajectory-level contact oracles.
+    joint_damping: optional (nj,) viscous damping — lets MuJoCo integrate a
+    PD controller's kd implicitly (as our engine does), which is required for
+    stability of the nearly massless ankle bodies at dt=1 ms."""
+    damping = (
+        np.zeros(len(model.dof_names))
+        if joint_damping is None
+        else np.asarray(joint_damping, float)
+    )
     mass = np.asarray(model.body_mass)
     com = np.asarray(model.body_com)
     inertia = np.asarray(model.body_inertia)
@@ -49,23 +65,39 @@ def model_to_mjcf(model: RobotModel, armature: float = 0.0) -> str:
             lines.append(
                 f'{ind}  <joint name="{model.dof_names[i-1]}" type="hinge" '
                 f'axis="{fmt(jaxis[i-1])}" range="{lower[i-1]:.10g} {upper[i-1]:.10g}" '
-                f'limited="false" damping="0" armature="{armature}" frictionloss="0"/>'
+                f'limited="false" damping="{damping[i-1]:.10g}" '
+                f'armature="{armature}" frictionloss="0"/>'
             )
         lines.append(
             f'{ind}  <inertial pos="{fmt(com[i])}" quat="{fmt(q_i)}" '
             f'mass="{mass[i]:.10g}" diaginertia="{fmt(np.maximum(w, 1e-12))}"/>'
         )
+        if with_contacts:
+            offs = np.asarray(model.contact_point_offset)
+            for k, b in enumerate(model.contact_point_body):
+                if b == i:
+                    lines.append(
+                        f'{ind}  <geom name="cp{k}" type="sphere" size="0.002" '
+                        f'pos="{fmt(offs[k])}" friction="{friction:.10g} 0 0" '
+                        f'condim="3" solref="0.002 1"/>'
+                    )
         for c, par in enumerate(model.body_parent):
             if par == i:
                 lines.append(body_xml(c, depth + 1))
         lines.append(f"{ind}</body>")
         return "\n".join(lines)
 
+    plane = (
+        f'    <geom name="floor" type="plane" size="50 50 1" '
+        f'friction="{friction:.10g} 0 0" condim="3"/>\n'
+        if with_contacts
+        else ""
+    )
     return f"""<mujoco model="hgt-oracle">
   <compiler angle="radian"/>
   <option timestep="0.001" gravity="0 0 -9.81" integrator="Euler"/>
   <worldbody>
-{body_xml(0, 2)}
+{plane}{body_xml(0, 2)}
   </worldbody>
 </mujoco>
 """

@@ -207,6 +207,7 @@ class OnPolicyRunner:
             "Train/mean_reward": mean_rew,
             "Train/mean_episode_length": mean_len,
             "Train/mean_step_reward": float(metrics["mean_step_reward"]),
+            "Train/nonfinite_resets": float(metrics["nonfinite_resets"]),
         }
         # per-term episode reward means (reference Episode/rew_* scalars)
         if n_resets > 0:

@@ -264,3 +264,27 @@ def test_reward_joint_pos_stale_ref():
     d = np.linalg.norm(0.1 * np.ones(12))
     expect = np.exp(-2 * d) - 0.2 * np.clip(d, 0, 0.5)
     np.testing.assert_allclose(float(R.joint_pos(ctx)), expect, rtol=1e-5)
+
+
+def test_nonfinite_env_auto_resets(quiet_env):
+    """A numerically exploded env must flag done, zero its reward, produce
+    finite observations, and not contaminate healthy envs."""
+    env, cfg = quiet_env
+    n = cfg.env.num_envs
+    keys = jax.random.split(jax.random.PRNGKey(5), n)
+    state = env.init_state(keys, jnp.arange(n))
+    step = jax.jit(env.step)
+    state, _ = step(state, jnp.zeros((n, 12)))
+    # corrupt env 0
+    qv = state.phys.qvel.at[0, 3].set(jnp.nan)
+    state = state.replace(phys=state.phys.replace(qvel=qv))
+    state, tr = step(state, jnp.zeros((n, 12)))
+    assert bool(tr.done[0])
+    assert int(tr.nonfinite[0]) == 1 and int(tr.nonfinite[1]) == 0
+    assert np.isfinite(float(tr.reward[0]))
+    assert np.all(np.isfinite(np.asarray(tr.obs)))
+    assert np.all(np.isfinite(np.asarray(tr.privileged_obs)))
+    # recovered state is finite
+    assert np.all(np.isfinite(np.asarray(state.phys.qpos[0])))
+    # healthy env unaffected
+    assert not bool(tr.nonfinite[1])
