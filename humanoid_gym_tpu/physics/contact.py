@@ -289,8 +289,10 @@ def resolve_contacts(
     # A = J Mtilde^-1 J^T via the half-factor B = L^-1 J^T: one triangular
     # solve instead of two (A = B^T B), and the post-solve velocity update
     # needs only L^-T (B lam).
+    from .linalg import solve_lower_unrolled, solve_upper_unrolled
+
     L = dyn.Mtilde_chol
-    B = jax.scipy.linalg.solve_triangular(L, setup.J.T, lower=True)  # (nv,nrow)
+    B = solve_lower_unrolled(L, setup.J.T)  # (nv, nrow)
     A = B.T @ B  # (nrow, nrow)
     u0 = setup.J @ v_free
     if solver == "apgd":
@@ -305,9 +307,7 @@ def resolve_contacts(
         lam = solve(A, u0, setup.lo_bound, sign, lb, mu)
     else:
         lam = pgs_solve(A, u0, K, setup.lo_bound, sign, lb, mu, iterations)
-    qvel_new = v_free + jax.scipy.linalg.solve_triangular(
-        L.T, B @ lam, lower=False
-    )
+    qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
     return ContactResult(
         qvel_new=qvel_new,
         impulses=lam[: 3 * K].reshape(K, 3),

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import spatial as S
+from .linalg import chol_unrolled, solve_spd_chol
 from .kinematics import (
     FK,
     BodyVel,
@@ -174,7 +175,9 @@ def compute_dynamics(
     h = bias_forces_explicit(model, qpos, qvel, k, mask, mass_scale)
     D = jnp.concatenate([jnp.zeros(6, M.dtype), implicit_damping])
     Mt = M + dt * jnp.diag(D)
-    chol = jnp.linalg.cholesky(Mt)
+    # unrolled straight-line Cholesky: XLA's lax.linalg lowers tiny batched
+    # factorizations to while-loops that serialize badly on TPU (linalg.py)
+    chol = chol_unrolled(Mt)
     bv = body_velocities(model, qpos, qvel)
     return Dyn(k=k, M=M, Mtilde_chol=chol, h=h, bv=bv)
 
@@ -182,7 +185,6 @@ def compute_dynamics(
 def solve_mtilde(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve (M + dt D) x = rhs via the cached Cholesky factor.
 
-    rhs may be (nv,) or (nv, k).
+    rhs may be (nv,) or (nv, k). Unrolled substitution (see linalg.py).
     """
-    y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    return solve_spd_chol(chol, rhs)
