@@ -104,6 +104,7 @@ class ControlCfg:
 class AssetCfg:
     file: str = ""
     name: str = "legged_robot"
+    mesh_dir: Optional[str] = None  # default: <urdf_dir>/../meshes
     foot_name: str = "None"
     knee_name: str = "None"
     penalize_contacts_on: List[str] = _f(list)
@@ -198,6 +199,7 @@ class RewardsCfg:
     target_joint_pos_scale: float = 0.17
     target_feet_height: float = 0.06
     cycle_time: float = 0.64
+    sole_offset: float = 0.05  # foot origin height above sole
 
 
 @dataclass

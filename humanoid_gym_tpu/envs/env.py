@@ -103,6 +103,7 @@ class HumanoidEnv:
             termination_names=tuple(cfg.asset.terminate_after_contacts_on),
             penalized_names=tuple(cfg.asset.penalize_contacts_on),
             armature=cfg.asset.armature,
+            mesh_dir=cfg.asset.mesh_dir,
         )
         m = self.model
         self.num_actions = cfg.env.num_actions
@@ -484,6 +485,7 @@ class HumanoidEnv:
             max_dist=cfg.rewards.max_dist,
             tracking_sigma=cfg.rewards.tracking_sigma,
             max_contact_force=cfg.rewards.max_contact_force,
+            sole_offset=cfg.rewards.sole_offset,
             dof_pos=phys.qpos[7:],
             dof_vel=phys.qvel[6:],
             last_dof_vel=state.last_dof_vel,

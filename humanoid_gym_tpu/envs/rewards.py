@@ -31,6 +31,8 @@ class RewardCtx(NamedTuple):
     max_dist: float
     tracking_sigma: float
     max_contact_force: float
+    sole_offset: float  # foot-frame origin height above the sole (0.05 for
+    # XBot-L; the reference hardcodes it, humanoid_env.py:383,455)
 
     # --- dynamic quantities (this step, pre-reset) ---
     dof_pos: jnp.ndarray  # (nj,)
@@ -81,7 +83,7 @@ def feet_state_update(ctx: RewardCtx) -> FeetStateUpdate:
     air = ctx.feet_air_time + ctx.dt
     air = air * (~contact_filt)
 
-    feet_z = ctx.feet_z - 0.05
+    feet_z = ctx.feet_z - ctx.sole_offset
     fh = ctx.feet_height + (feet_z - ctx.last_feet_z)
     fh = fh * (~ctx.contact)
     return FeetStateUpdate(
@@ -164,7 +166,7 @@ def base_height(ctx: RewardCtx) -> jnp.ndarray:
     """humanoid_env.py:374-384."""
     stance = ctx.stance_mask
     mean_feet_z = jnp.sum(ctx.feet_z * stance) / jnp.maximum(jnp.sum(stance), 1e-9)
-    h = ctx.root_z - (mean_feet_z - 0.05)
+    h = ctx.root_z - (mean_feet_z - ctx.sole_offset)
     return jnp.exp(-jnp.abs(h - ctx.base_height_target) * 100.0)
 
 
@@ -204,7 +206,7 @@ def tracking_ang_vel(ctx: RewardCtx) -> jnp.ndarray:
 
 def feet_clearance(ctx: RewardCtx) -> jnp.ndarray:
     """humanoid_env.py:446-467 (value uses post-increment feet_height)."""
-    feet_z = ctx.feet_z - 0.05
+    feet_z = ctx.feet_z - ctx.sole_offset
     fh = ctx.feet_height + (feet_z - ctx.last_feet_z)
     swing = 1.0 - ctx.stance_mask
     near = jnp.abs(fh - ctx.target_feet_height) < 0.01

@@ -142,6 +142,8 @@ def build_model_from_urdf(
         X, col = mesh_col
         fname = os.path.basename(col.mesh_file)
         pts_link = U.foot_sole_points(os.path.join(mesh_dir, fname), X.R.T @ down_local)
+        if col.mesh_scale is not None:
+            pts_link = pts_link * col.mesh_scale[None, :]
         pts_body = (X.R @ pts_link.T).T + X.p
         for pt in pts_body:
             contact_body.append(fi)

@@ -98,6 +98,7 @@ class UrdfCollision:
     radius: Optional[float] = None
     length: Optional[float] = None
     mesh_file: Optional[str] = None
+    mesh_scale: Optional[np.ndarray] = None  # (3,) URDF <mesh scale=...>
 
 
 @dataclass
@@ -147,7 +148,13 @@ def _parse_collision(el: ET.Element) -> Optional[UrdfCollision]:
         return UrdfCollision("box", origin, size=np.fromstring(box.get("size"), sep=" "))
     mesh = geo.find("mesh")
     if mesh is not None:
-        return UrdfCollision("mesh", origin, mesh_file=mesh.get("filename"))
+        scale = mesh.get("scale")
+        return UrdfCollision(
+            "mesh",
+            origin,
+            mesh_file=mesh.get("filename"),
+            mesh_scale=np.fromstring(scale, sep=" ") if scale else None,
+        )
     sph = geo.find("sphere")
     if sph is not None:
         return UrdfCollision("sphere", origin, radius=float(sph.get("radius")))

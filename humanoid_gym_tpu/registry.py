@@ -79,5 +79,9 @@ def _register_builtin():
 
     register("humanoid_ppo_terrain", terrain, terrain_ppo)
 
+    from .config.xbots import XBotSCfg, XBotSCfgPPO
+
+    register("humanoid_s_ppo", XBotSCfg, XBotSCfgPPO)
+
 
 _register_builtin()
