@@ -35,6 +35,12 @@ class ActorCritic(nn.Module):
     actor_hidden: Sequence[int] = (512, 256, 128)
     critic_hidden: Sequence[int] = (768, 256, 128)
     init_noise_std: float = 1.0
+    # DWL-style state-estimation head (BASELINE config[4]): predicts
+    # privileged quantities (base linear velocity) from the deployable actor
+    # observation; trained supervised alongside PPO, exported for real-robot
+    # state estimation. 0 disables (default — reference parity).
+    estimator_dim: int = 0
+    estimator_hidden: Sequence[int] = (256, 128)
 
     def setup(self):
         self.actor = MLP(self.actor_hidden, self.num_actions)
@@ -42,11 +48,15 @@ class ActorCritic(nn.Module):
         self.std = self.param(
             "std", lambda key: jnp.full((self.num_actions,), self.init_noise_std)
         )
+        if self.estimator_dim > 0:
+            self.estimator = MLP(self.estimator_hidden, self.estimator_dim)
 
     def __call__(self, obs, priv_obs) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """(mean, std, value) — used for parameter init."""
         mean = self.actor(obs)
         value = self.critic(priv_obs)[..., 0]
+        if self.estimator_dim > 0:
+            _ = self.estimator(obs)  # touch so init creates the head
         return mean, self.std, value
 
     def act(self, obs):
@@ -64,6 +74,10 @@ class ActorCritic(nn.Module):
     def act_inference(self, obs):
         """Deterministic action = mean (reference actor_critic.py:122-124)."""
         return self.actor(obs)
+
+    def estimate(self, obs):
+        """Privileged-state estimate from deployable obs (DWL-style head)."""
+        return self.estimator(obs)
 
 
 def normal_log_prob(mean, std, x):

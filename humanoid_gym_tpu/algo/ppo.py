@@ -51,6 +51,10 @@ class PPOConfig:
     gamma: float = 0.994
     lam: float = 0.9
     num_steps_per_env: int = 60
+    # DWL-style estimator head: supervised on a slice of the privileged obs
+    # (e.g. base lin vel at [199:202] of the stacked XBot critic obs)
+    estimator_coef: float = 0.0
+    estimator_slice: tuple = (199, 202)
 
     @staticmethod
     def from_cfg(a) -> "PPOConfig":
@@ -67,6 +71,8 @@ class PPOConfig:
             desired_kl=a.desired_kl,
             gamma=a.gamma,
             lam=a.lam,
+            estimator_coef=getattr(a, "estimator_coef", 0.0),
+            estimator_slice=tuple(getattr(a, "estimator_slice", (199, 202))),
         )
 
 
@@ -262,6 +268,12 @@ def make_train_iter(
                 + cfg.value_loss_coef * value_loss
                 - cfg.entropy_coef * jnp.mean(entropy)
             )
+            if cfg.estimator_coef > 0.0 and net.estimator_dim > 0:
+                est = net.apply(params, obs, method=ActorCritic.estimate)
+                lo, hi = cfg.estimator_slice
+                target = jax.lax.stop_gradient(priv[:, lo:hi])
+                est_loss = jnp.mean(jnp.square(est - target))
+                total = total + cfg.estimator_coef * est_loss
             return total, (surrogate_loss, value_loss, jnp.mean(entropy))
 
         grads, (surr_l, val_l, ent) = jax.grad(loss_fn, has_aux=True)(ts.params)

@@ -314,6 +314,9 @@ class PolicyCfg:
     init_noise_std: float = 1.0
     actor_hidden_dims: List[int] = _f(lambda: [512, 256, 128])
     critic_hidden_dims: List[int] = _f(lambda: [512, 256, 128])
+    # DWL-style privileged-state estimator head (0 = off)
+    estimator_dim: int = 0
+    estimator_hidden_dims: List[int] = _f(lambda: [256, 128])
 
 
 @dataclass
@@ -330,6 +333,8 @@ class AlgorithmCfg:
     lam: float = 0.95
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
+    estimator_coef: float = 0.0
+    estimator_slice: Tuple[int, int] = (199, 202)
 
 
 @dataclass

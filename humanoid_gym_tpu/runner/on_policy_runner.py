@@ -56,6 +56,10 @@ class OnPolicyRunner:
             actor_hidden=tuple(train_cfg.policy.actor_hidden_dims),
             critic_hidden=tuple(train_cfg.policy.critic_hidden_dims),
             init_noise_std=train_cfg.policy.init_noise_std,
+            estimator_dim=getattr(train_cfg.policy, "estimator_dim", 0),
+            estimator_hidden=tuple(
+                getattr(train_cfg.policy, "estimator_hidden_dims", (256, 128))
+            ),
         )
         algo_cfg = PPOConfig.from_cfg(train_cfg.algorithm)
         algo_cfg.num_steps_per_env = self.num_steps_per_env

@@ -80,3 +80,35 @@ def test_sharded_train_step_runs():
 
     assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
     g.dryrun_multichip(8)
+
+
+def test_estimator_head_trains():
+    """DWL-style estimator: head exists, gradient flows, supervised loss
+    decreases on a fixed batch."""
+    import optax
+
+    net = ActorCritic(num_actions=12, estimator_dim=3)
+    key = jax.random.PRNGKey(0)
+    params = net.init(key, jnp.zeros((2, 705)), jnp.zeros((2, 219)))
+    assert "estimator" in params["params"]
+
+    obs = jax.random.normal(key, (64, 705))
+    target = obs[:, :3] * 0.5  # recoverable mapping
+
+    opt = optax.adam(1e-3)
+    ost = opt.init(params)
+
+    @jax.jit
+    def step(params, ost):
+        def loss(p):
+            est = net.apply(p, obs, method=ActorCritic.estimate)
+            return jnp.mean(jnp.square(est - target))
+
+        l, g = jax.value_and_grad(loss)(params)
+        up, ost = opt.update(g, ost)
+        return optax.apply_updates(params, up), ost, l
+
+    params, ost, l0 = step(params, ost)
+    for _ in range(50):
+        params, ost, l = step(params, ost)
+    assert float(l) < float(l0) * 0.5
