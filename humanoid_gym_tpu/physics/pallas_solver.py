@@ -209,3 +209,253 @@ def make_apgd_batched(iterations: int, interpret: bool = False):
         return lam, True
 
     return solve
+
+
+# --------------------------------------------------------------------------- #
+# Fused dynamics+contact kernel: cholesky(Mtilde) -> v_free -> B = L^-1 J^T
+# -> A = B^T B -> APGD -> qvel_new, all on-chip per 128-env tile.
+# --------------------------------------------------------------------------- #
+
+NV = 18  # generalized velocities
+NVP = 24  # padded to sublane multiple
+
+
+def _fused_kernel(
+    Mt_ref, Jt_ref, qvel_ref, rhs_ref, target_ref, sign_ref, mu_ref,
+    nlim_ref, iters_ref, qvel_out_ref, lam_out_ref,
+):
+    f32 = Mt_ref.dtype
+    A0 = Mt_ref[0]  # (NVP, NVP, 128) Mtilde (padded rows/cols carry identity)
+    Jt = Jt_ref[0]  # (NVP, ROWS, 128) J^T (cols padded)
+    qvel = qvel_ref[0]  # (NVP, 128)
+    rhs = rhs_ref[0]  # (NVP, 128) dt*(tau - h)
+    target = target_ref[0]  # (ROWS, 128)
+    sign = sign_ref[0]  # (ROWS, 128) +-1 on limit rows, 1 elsewhere
+    mu = mu_ref[0]  # (1, 128)
+
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (NVP, ENV_TILE), 0)
+
+    # ---- cholesky of Mtilde, unrolled ----
+    A = A0
+    L = jnp.zeros((NVP, NVP, ENV_TILE), f32)
+    for k in range(NV):
+        d = jnp.sqrt(jnp.maximum(A[k, k], 1e-12))  # (128,)
+        col = A[:, k, :] / d[None, :]
+        col = jnp.where(vrow > k, col, 0.0)
+        col_k = col.at[k].set(d)
+        L = L.at[:, k, :].set(col_k)
+        A = A - col[:, None, :] * col[None, :, :]
+
+    def solve_lower_vec(b):  # L x = b, b (NVP, 128)
+        x = b
+        for k in range(NV):
+            xk = x[k] / L[k, k]
+            x = x.at[k].set(xk)
+            mask = jnp.where(vrow > k, 1.0, 0.0)
+            x = x - mask * (L[:, k, :] * xk[None, :])
+        return x
+
+    def solve_lower_mat(Bm):  # L X = Bm, Bm (NVP, ROWS, 128)
+        X = Bm
+        for k in range(NV):
+            xk = X[k] / L[k, k][None, :]  # (ROWS, 128)
+            X = X.at[k].set(xk)
+            mask = jnp.where(vrow > k, 1.0, 0.0)[:, None, :]
+            X = X - mask * (L[:, k, :][:, None, :] * xk[None, :, :])
+        return X
+
+    def solve_upper(b):  # L^T x = b, b (NVP, 128)
+        x = b
+        for k in reversed(range(NV)):
+            xk = x[k] / L[k, k]
+            x = x.at[k].set(xk)
+            # x[i] -= L[k, i] * xk for i < k  (column k of L^T is row k of L)
+            mask = jnp.where(vrow < k, 1.0, 0.0)
+            x = x - mask * (L[k, :, :] * xk[None, :])
+        return x
+
+    # ---- v_free = qvel + Mtilde^-1 rhs ----
+    v_free = qvel + solve_upper(solve_lower_vec(rhs))
+
+    # ---- B = L^-1 J^T (sign-folded), u0 = J v_free ----
+    B = solve_lower_mat(Jt)  # (NVP, ROWS, 128)
+    B = B * sign[None, :, :]
+    u0 = jnp.sum(Jt * v_free[:, None, :], axis=0) * sign  # (ROWS, 128)
+    r = u0 - target
+
+    # ---- A = B^T B ----
+    Ac = jnp.zeros((ROWS, ROWS, ENV_TILE), f32)
+    for k in range(NV):
+        Ac = Ac + B[k, :, None, :] * B[k, None, :, :]
+
+    # ---- APGD (same scheme as _apgd_kernel) ----
+    L_apgd = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ac), axis=1), axis=0), 1e-6)
+    step = 1.0 / L_apgd  # (128,)
+
+    nc3 = 3 * N_POINTS
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ENV_TILE), 0)
+    nlim = nlim_ref[0]
+    valid = (rrow < (nc3 + nlim)).astype(f32)
+
+    def project(x):
+        blocks = x[:nc3].reshape(N_POINTS, 3, ENV_TILE)
+        tx, ty, n = blocks[:, 0], blocks[:, 1], blocks[:, 2]
+        nt = jnp.sqrt(tx * tx + ty * ty + 1e-24)
+        inside = nt <= mu * n
+        polar = mu * nt <= -n
+        n_p = jnp.maximum((mu * nt + n) / (1.0 + mu * mu), 0.0)
+        scale = mu * n_p / nt
+        keep = inside.astype(f32)
+        mid = (1.0 - keep) * (1.0 - polar.astype(f32))
+        cone = jnp.stack(
+            [keep * tx + mid * tx * scale, keep * ty + mid * ty * scale,
+             keep * n + mid * n_p], axis=1
+        ).reshape(nc3, ENV_TILE)
+        rest = jnp.maximum(x[nc3:], 0.0)
+        return jnp.concatenate([cone, rest], axis=0) * valid
+
+    def body(_, carry):
+        lam, y, theta = carry
+        g = jnp.sum(Ac * y[None, :, :], axis=1) + r
+        lam_new = project(y - step[None, :] * g)
+        d = lam_new - lam
+        restart = jnp.sum(g * d, axis=0, keepdims=True) > 0.0
+        theta = jnp.where(restart, 1.0, theta)
+        theta_new = 0.5 * (theta * jnp.sqrt(theta * theta + 4.0) - theta * theta)
+        beta = theta * (1.0 - theta) / (theta * theta + theta_new)
+        beta = jnp.where(restart, 0.0, beta)
+        return lam_new, lam_new + beta * d, theta_new
+
+    zero = jnp.zeros((ROWS, ENV_TILE), f32)
+    ones = jnp.ones((1, ENV_TILE), f32)
+    lam, _, _ = jax.lax.fori_loop(0, iters_ref[0], body, (zero, zero, ones))
+
+    # ---- qvel_new = v_free + L^-T (B lam) ----
+    y1 = jnp.sum(B * lam[None, :, :], axis=1)  # (NVP, 128)
+    dv = solve_upper(y1)
+    qvel_out_ref[0] = v_free + dv
+    lam_out_ref[0] = lam * sign  # unfold to physical impulses
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "interpret"))
+def fused_solve_pallas(
+    Mt: jnp.ndarray,  # (N, nv, nv)
+    J: jnp.ndarray,  # (N, nrow, nv)
+    qvel: jnp.ndarray,  # (N, nv)
+    rhs: jnp.ndarray,  # (N, nv) dt*(tau - h)
+    lo_bound: jnp.ndarray,  # (N, n_points)
+    limit_sign: jnp.ndarray,  # (N, nlim)
+    limit_bound: jnp.ndarray,  # (N, nlim)
+    mu: jnp.ndarray,  # (N,)
+    iterations: int = 16,
+    interpret: bool = False,
+):
+    """Returns (qvel_new (N, nv), lam (N, nrow))."""
+    N, nrow, nv = J.shape
+    nc3 = 3 * N_POINTS
+    nlim = nrow - nc3
+
+    sign = jnp.concatenate(
+        [jnp.ones((N, nc3), J.dtype), limit_sign.astype(J.dtype)], axis=1
+    )
+    target = jnp.zeros((N, nrow), J.dtype)
+    target = target.at[:, jnp.arange(N_POINTS) * 3 + 2].set(lo_bound)
+    target = target.at[:, nc3:].set(limit_bound)
+
+    n_pad = (-N) % ENV_TILE
+    Np = N + n_pad
+    T = Np // ENV_TILE
+
+    def pad(x, row_pads, diag_identity=False):
+        x = jnp.pad(x, ((0, n_pad),) + row_pads)
+        if diag_identity:
+            # keep padded Mtilde diagonal nonsingular
+            idx = jnp.arange(nv, NVP)
+            x = x.at[:, idx, idx].set(1.0)
+        return x
+
+    Mt_p = pad(Mt, ((0, NVP - nv), (0, NVP - nv)), diag_identity=True)
+    Jt_p = pad(jnp.swapaxes(J, 1, 2), ((0, NVP - nv), (0, ROWS - nrow)))
+    qvel_p = pad(qvel, ((0, NVP - nv),))
+    rhs_p = pad(rhs, ((0, NVP - nv),))
+    target_p = pad(target, ((0, ROWS - nrow),))
+    sign_p = jnp.pad(sign, ((0, n_pad), (0, ROWS - nrow)), constant_values=1.0)
+    mu_p = pad(mu.astype(J.dtype)[:, None], ((0, 0),))
+
+    def to_tiles(x):
+        x = x.reshape((T, ENV_TILE) + x.shape[1:])
+        return jnp.moveaxis(x, 1, -1)
+
+    spec3 = lambda a, b: pl.BlockSpec(
+        (1, a, b, ENV_TILE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec2 = lambda a: pl.BlockSpec(
+        (1, a, ENV_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    qvel_new_t, lam_t = pl.pallas_call(
+        _fused_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, NVP, ENV_TILE), J.dtype),
+            jax.ShapeDtypeStruct((T, ROWS, ENV_TILE), J.dtype),
+        ),
+        grid=(T,),
+        in_specs=[
+            spec3(NVP, NVP),  # Mt
+            spec3(NVP, ROWS),  # Jt
+            spec2(NVP),  # qvel
+            spec2(NVP),  # rhs
+            spec2(ROWS),  # target
+            spec2(ROWS),  # sign
+            spec2(1),  # mu
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(spec2(NVP), spec2(ROWS)),
+        interpret=interpret,
+    )(
+        to_tiles(Mt_p),
+        to_tiles(Jt_p),
+        to_tiles(qvel_p),
+        to_tiles(rhs_p),
+        to_tiles(target_p),
+        to_tiles(sign_p),
+        to_tiles(mu_p),
+        jnp.asarray([nlim], jnp.int32),
+        jnp.asarray([iterations], jnp.int32),
+    )
+    qvel_new = jnp.moveaxis(qvel_new_t, -1, 1).reshape(Np, NVP)[:N, :nv]
+    lam = jnp.moveaxis(lam_t, -1, 1).reshape(Np, ROWS)[:N, :nrow]
+    return qvel_new, lam
+
+
+def make_fused_batched(iterations: int, interpret: bool = False):
+    """custom_vmap wrapper: single-env falls back to XLA path; vmapped batch
+    dispatches the fused kernel."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def solve(Mt, J, qvel, rhs, lo, sign, lb, mu):
+        # single-env fallback: unrolled XLA path (same math)
+        from .contact import apgd_solve
+        from .linalg import chol_unrolled, solve_lower_unrolled, solve_upper_unrolled
+
+        L = chol_unrolled(Mt)
+        v_free = qvel + solve_upper_unrolled(L.T, solve_lower_unrolled(L, rhs))
+        B = solve_lower_unrolled(L, J.T)
+        A = B.T @ B
+        u0 = J @ v_free
+        lam = apgd_solve(A, u0, N_POINTS, lo, sign, lb, mu, iterations)
+        qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
+        return qvel_new, lam
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [
+            x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+            for x, b in zip(args, in_batched)
+        ]
+        out = fused_solve_pallas(*args, iterations=iterations, interpret=interpret)
+        return out, (True, True)
+
+    return solve

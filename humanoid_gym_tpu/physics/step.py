@@ -16,7 +16,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from . import spatial as S
-from .contact import ContactResult, resolve_contacts
+from .contact import (
+    ContactResult,
+    build_contact_setup,
+    joint_limit_bounds,
+    resolve_contacts,
+)
 from .dynamics import compute_dynamics, solve_mtilde
 from .model import RobotModel
 
@@ -102,20 +107,46 @@ def make_substep(
         # to the LHS makes the kd/viscous terms implicit while tau still
         # reports the reference's explicit clipped PD torque.
         gen_force = jnp.concatenate([jnp.zeros(6, tau.dtype), tau + tau_fric])
-        v_free = qvel + solve_mtilde(dyn.Mtilde_chol, dt * (gen_force - dyn.h))
 
-        res = resolve_contacts(
-            model,
-            dyn,
-            qpos,
-            v_free,
-            terrain_height_fn,
-            dt,
-            state.friction,
-            iterations=solver_iterations,
-            max_depen_vel=max_depen_vel,
-            solver=solver,
-        )
+        if solver.startswith("fused"):
+            # fully fused path: cholesky + v_free + Delassus + APGD + dv in
+            # one Pallas kernel per env tile (pallas_solver.py)
+            from .pallas_solver import make_fused_batched
+
+            setup = build_contact_setup(
+                model, dyn, terrain_height_fn, dt, max_depen_vel=max_depen_vel
+            )
+            sign, lb = joint_limit_bounds(model, qpos, dt)
+            D = jnp.concatenate([jnp.zeros(6, tau.dtype), implicit_d])
+            Mt = dyn.M + dt * jnp.diag(D)
+            rhs = dt * (gen_force - dyn.h)
+            fused = make_fused_batched(
+                solver_iterations, interpret=solver.endswith("interpret")
+            )
+            qvel_new, lam = fused(
+                Mt, setup.J, qvel, rhs, setup.lo_bound, sign, lb, state.friction
+            )
+            K = setup.phi.shape[0]
+            res = ContactResult(
+                qvel_new=qvel_new,
+                impulses=lam[: 3 * K].reshape(K, 3),
+                phi=setup.phi,
+                pos_w=setup.pos_w,
+            )
+        else:
+            v_free = qvel + solve_mtilde(dyn.Mtilde_chol, dt * (gen_force - dyn.h))
+            res = resolve_contacts(
+                model,
+                dyn,
+                qpos,
+                v_free,
+                terrain_height_fn,
+                dt,
+                state.friction,
+                iterations=solver_iterations,
+                max_depen_vel=max_depen_vel,
+                solver=solver,
+            )
         qvel_new = res.qvel_new
         # DOF velocity limits (PhysX clamps at maxVelocity; URDF <limit velocity>)
         vj = jnp.clip(qvel_new[6:], -model.dof_vel_limit, model.dof_vel_limit)

@@ -167,3 +167,44 @@ def test_pallas_apgd_matches_xla(xbot_model):
         qpos, qvel, mu
     )
     np.testing.assert_allclose(np.asarray(v_pls), np.asarray(v_xla), atol=2e-4)
+
+
+def test_fused_pallas_matches_standard(xbot_model):
+    """The fused cholesky+contact kernel (interpret mode) must reproduce the
+    standard apgd path through a full physics step."""
+    from humanoid_gym_tpu.physics.step import default_state, make_physics_step
+    from humanoid_gym_tpu.terrain.terrain import flat_height_fn
+
+    m = xbot_model
+    kp = jnp.asarray(
+        [200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15], jnp.float32
+    )
+    kd = jnp.full(12, 10.0)
+    tl = m.dof_effort * 0.85
+
+    def run(solver, n_steps=20):
+        step = make_physics_step(
+            m, 0.001, 1, kp, kd, tl, flat_height_fn,
+            solver_iterations=30, solver=solver,
+        )
+        st = default_state(
+            m, jnp.asarray([0.0, 0.0, 0.9]), jnp.asarray([1.0, 0, 0, 0])
+        )
+        vstep = jax.jit(jax.vmap(step, in_axes=(0, None)))
+        stb = jax.tree.map(lambda x: jnp.broadcast_to(x, (3,) + x.shape), st)
+        for _ in range(n_steps):
+            stb = vstep(stb, jnp.zeros(12))
+        return stb
+
+    ref = run("apgd")
+    fus = run("fused_pallas_interpret")
+    np.testing.assert_allclose(
+        np.asarray(fus.qpos), np.asarray(ref.qpos), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fus.qvel), np.asarray(ref.qvel), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(fus.contact_forces), np.asarray(ref.contact_forces),
+        atol=2.0,
+    )
