@@ -172,6 +172,7 @@ def _ctx(**over):
         max_dist=0.5,
         tracking_sigma=5.0,
         max_contact_force=700.0,
+        sole_offset=0.05,
         dof_pos=jnp.zeros(12),
         dof_vel=jnp.zeros(12),
         last_dof_vel=jnp.zeros(12),
