@@ -176,6 +176,25 @@ class HumanoidEnv:
         )
         self.feet_idx = jnp.asarray(m.feet_body_idx)
         self.knee_idx = jnp.asarray(m.knee_body_idx)
+
+        # height measurement grid (legged_robot.py:743-757); sampled under
+        # base yaw each step when terrain.measure_heights is on. Unlike the
+        # reference (whose measured-heights obs path is dead + buggy for
+        # XBot, humanoid_env.py:246-248), the correct opt-in here appends
+        # clip((root_z - 0.5 - h)*scale) to the privileged frame.
+        gx, gy = np.meshgrid(
+            np.asarray(cfg.terrain.measured_points_x),
+            np.asarray(cfg.terrain.measured_points_y),
+            indexing="ij",
+        )
+        self.height_points = jnp.asarray(
+            np.stack([gx.ravel(), gy.ravel()], axis=-1), jnp.float32
+        )  # (P, 2)
+        self.num_height_points = self.height_points.shape[0]
+        self.measure_heights = (
+            cfg.terrain.measure_heights
+            and cfg.terrain.mesh_type in ("heightfield", "trimesh")
+        )
         # probe->body grouping for termination/collision flags
         self._probe_body = np.asarray(m.probe_point_body)
         self._term_bodies = tuple(m.termination_body_idx)
@@ -654,6 +673,28 @@ class HumanoidEnv:
                 stance_mask_obs,  # 2
                 contact.astype(jnp.float32),  # 2
             ]
+        )
+        if self.measure_heights:
+            # yaw-rotated sample grid around the base (legged_robot.py:759-795)
+            pts = S.quat_apply_yaw(
+                jnp.broadcast_to(quat_post, (self.num_height_points, 4)),
+                jnp.concatenate(
+                    [self.height_points, jnp.zeros((self.num_height_points, 1))],
+                    axis=-1,
+                ),
+            )
+            px = pts[:, 0] + phys.qpos[0]
+            py = pts[:, 1] + phys.qpos[1]
+            h = self.terrain_height_fn(px, py)
+            h_obs = jnp.clip(
+                phys.qpos[2] - 0.5 - h, -1.0, 1.0
+            ) * os_.height_measurements
+            single_priv = jnp.concatenate([single_priv, h_obs])
+        assert single_obs.shape[0] == cfg.env.num_single_obs, (
+            single_obs.shape, cfg.env.num_single_obs
+        )
+        assert single_priv.shape[0] == cfg.env.single_num_privileged_obs, (
+            single_priv.shape, cfg.env.single_num_privileged_obs
         )
         if cfg.noise.add_noise:
             single_obs = single_obs + (

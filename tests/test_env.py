@@ -289,3 +289,27 @@ def test_nonfinite_env_auto_resets(quiet_env):
     assert np.all(np.isfinite(np.asarray(state.phys.qpos[0])))
     # healthy env unaffected
     assert not bool(tr.nonfinite[1])
+
+
+def test_measured_heights_priv_obs():
+    """Opt-in terrain height measurements appended to the privileged frame
+    (correct version of the reference's dead measure_heights path)."""
+    cfg = _quiet_cfg()
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.terrain.curriculum = False
+    cfg.terrain.measure_heights = True
+    cfg.terrain.num_rows = 2
+    cfg.terrain.num_cols = 2
+    cfg.terrain.border_size = 5.0
+    P = 17 * 11
+    cfg.env.single_num_privileged_obs = 73 + P
+    cfg.env.num_privileged_obs = 3 * (73 + P)
+    env = make_env(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(3), cfg.env.num_envs)
+    state = jax.jit(env.init_state)(keys, jnp.arange(cfg.env.num_envs))
+    state, tr = jax.jit(env.step)(state, jnp.zeros((cfg.env.num_envs, 12)))
+    assert tr.privileged_obs.shape == (cfg.env.num_envs, 3 * (73 + P))
+    newest = np.asarray(tr.privileged_obs).reshape(cfg.env.num_envs, 3, -1)[:, -1, :]
+    h = newest[:, 73:]
+    assert h.shape[1] == P
+    assert np.all(np.isfinite(h)) and np.all(np.abs(h) <= 5.0 + 1e-5)
