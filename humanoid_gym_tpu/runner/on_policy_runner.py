@@ -193,6 +193,23 @@ class OnPolicyRunner:
                     self.log_dir, f"model_{self.current_learning_iteration}.ckpt"
                 )
             )
+        self.close()
+
+    def close(self):
+        """Flush and release log sinks (avoids noisy interpreter-teardown
+        aborts from the TensorBoard writer thread)."""
+        if self.writer is not None:
+            try:
+                self.writer.close()
+            except Exception:
+                pass
+            self.writer = None
+        if self._metrics_file is not None:
+            try:
+                self._metrics_file.close()
+            except Exception:
+                pass
+            self._metrics_file = None
 
     # ------------------------------------------------------------------ #
 
