@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .dynamics import Dyn, solve_mtilde
+from .dynamics import Dyn
 from .kinematics import ancestor_mask, dof_basis, f32_matmul, point_jacobian
 from .model import RobotModel
 
@@ -34,8 +34,8 @@ from .model import RobotModel
 class ContactSetup(NamedTuple):
     J: jnp.ndarray  # (nrow, nv) stacked constraint Jacobian
     lo_bound: jnp.ndarray  # (ncon_pts,) velocity lower bound per normal row
-    limit_bound: jnp.ndarray  # (nj,) velocity bound for limit rows
-    limit_sign: jnp.ndarray  # (nj,) +1 pushing up from lower limit, -1 from upper
+    limit_bound: jnp.ndarray  # (nj,) placeholder; real bounds from joint_limit_bounds
+    limit_sign: jnp.ndarray  # (nj,) placeholder; real signs from joint_limit_bounds
     phi: jnp.ndarray  # (ncon_pts,) signed gap of force-solved points
     pos_w: jnp.ndarray  # (ncon_pts,3) world candidate positions
 

@@ -157,7 +157,6 @@ class Dyn(NamedTuple):
     M: jnp.ndarray  # (nv,nv) (without implicit damping)
     Mtilde_chol: jnp.ndarray  # cholesky of M + dt*D
     h: jnp.ndarray  # (nv,)
-    bv: BodyVel
 
 
 @f32_matmul
@@ -178,8 +177,7 @@ def compute_dynamics(
     # unrolled straight-line Cholesky: XLA's lax.linalg lowers tiny batched
     # factorizations to while-loops that serialize badly on TPU (linalg.py)
     chol = chol_unrolled(Mt)
-    bv = body_velocities(model, qpos, qvel)
-    return Dyn(k=k, M=M, Mtilde_chol=chol, h=h, bv=bv)
+    return Dyn(k=k, M=M, Mtilde_chol=chol, h=h)
 
 
 def solve_mtilde(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:

@@ -38,11 +38,6 @@ class PhysicsState:
     torques: jnp.ndarray  # (nj,) last applied actuator torques
 
 
-class SubstepOut(NamedTuple):
-    contact_forces: jnp.ndarray
-    torques: jnp.ndarray
-
-
 def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> PhysicsState:
     nq, nv, nb, njnt = model.nq, model.nv, model.nbody, model.nj
     qj = jnp.zeros(njnt) if qj is None else qj
