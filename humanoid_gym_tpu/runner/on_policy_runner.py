@@ -158,7 +158,11 @@ class OnPolicyRunner:
         tot_iter = start_iter + num_learning_iterations
         steps_per_iter = self.num_steps_per_env * self.num_envs
 
+        profile_dir = os.environ.get("HGT_PROFILE_DIR")
         for it in range(start_iter, tot_iter):
+            # capture a device trace of the second iteration (first is compile)
+            if profile_dir and it == start_iter + 1:
+                jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             self.key, k = jax.random.split(self.key)
             (
@@ -172,6 +176,9 @@ class OnPolicyRunner:
                 self.train_state, self.env_state, self.obs, self.priv_obs, k
             )
             metrics = jax.device_get(metrics)
+            if profile_dir and it == start_iter + 1:
+                jax.profiler.stop_trace()
+                print(f"[profiler] trace written to {profile_dir}", flush=True)
             dt_iter = time.time() - t0
             self.tot_timesteps += steps_per_iter
             self.tot_time += dt_iter
