@@ -234,44 +234,50 @@ def _fused_kernel(
     mu = mu_ref[0]  # (1, 128)
 
     vrow = jax.lax.broadcasted_iota(jnp.int32, (NVP, ENV_TILE), 0)
+    # static one-hot row masks (Mosaic has no scatter lowering — all row
+    # writes are expressed as mask arithmetic)
+    below = [jnp.where(vrow > k, 1.0, 0.0) for k in range(NV)]
+    above = [jnp.where(vrow < k, 1.0, 0.0) for k in range(NV)]
+    onehot = [
+        jnp.where(vrow == k, 1.0, 0.0) for k in range(NV)
+    ]  # (NVP, 128) each
 
     # ---- cholesky of Mtilde, unrolled ----
     A = A0
     L = jnp.zeros((NVP, NVP, ENV_TILE), f32)
     for k in range(NV):
-        d = jnp.sqrt(jnp.maximum(A[k, k], 1e-12))  # (128,)
-        col = A[:, k, :] / d[None, :]
-        col = jnp.where(vrow > k, col, 0.0)
-        col_k = col.at[k].set(d)
-        L = L.at[:, k, :].set(col_k)
+        d = jnp.sqrt(jnp.maximum(A[k][k], 1e-12))  # (128,)
+        col = below[k] * (A[:, k, :] / d[None, :])
+        col_k = col + onehot[k] * d[None, :]
+        L = L + col_k[:, None, :] * onehot[k][None, :, :]
         A = A - col[:, None, :] * col[None, :, :]
 
     def solve_lower_vec(b):  # L x = b, b (NVP, 128)
         x = b
         for k in range(NV):
-            xk = x[k] / L[k, k]
-            x = x.at[k].set(xk)
-            mask = jnp.where(vrow > k, 1.0, 0.0)
-            x = x - mask * (L[:, k, :] * xk[None, :])
+            xk = x[k] / L[k][k]  # (128,)
+            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None, :]
+            x = x - below[k] * (L[:, k, :] * xk[None, :])
         return x
 
     def solve_lower_mat(Bm):  # L X = Bm, Bm (NVP, ROWS, 128)
         X = Bm
         for k in range(NV):
-            xk = X[k] / L[k, k][None, :]  # (ROWS, 128)
-            X = X.at[k].set(xk)
-            mask = jnp.where(vrow > k, 1.0, 0.0)[:, None, :]
-            X = X - mask * (L[:, k, :][:, None, :] * xk[None, :, :])
+            xk = X[k] / L[k][k][None, :]  # (ROWS, 128)
+            oh = onehot[k][:, None, :]
+            X = X * (1.0 - oh) + oh * xk[None, :, :]
+            X = X - below[k][:, None, :] * (
+                L[:, k, :][:, None, :] * xk[None, :, :]
+            )
         return X
 
     def solve_upper(b):  # L^T x = b, b (NVP, 128)
         x = b
         for k in reversed(range(NV)):
-            xk = x[k] / L[k, k]
-            x = x.at[k].set(xk)
+            xk = x[k] / L[k][k]
+            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None, :]
             # x[i] -= L[k, i] * xk for i < k  (column k of L^T is row k of L)
-            mask = jnp.where(vrow < k, 1.0, 0.0)
-            x = x - mask * (L[k, :, :] * xk[None, :])
+            x = x - above[k] * (L[k] * xk[None, :])
         return x
 
     # ---- v_free = qvel + Mtilde^-1 rhs ----
@@ -284,9 +290,12 @@ def _fused_kernel(
     r = u0 - target
 
     # ---- A = B^T B ----
+    # (NB: int index combined with None in one bracket lowers to an
+    # unsupported >2D gather in Mosaic — index first, then expand)
     Ac = jnp.zeros((ROWS, ROWS, ENV_TILE), f32)
     for k in range(NV):
-        Ac = Ac + B[k, :, None, :] * B[k, None, :, :]
+        Bk = B[k]
+        Ac = Ac + Bk[:, None, :] * Bk[None, :, :]
 
     # ---- APGD (same scheme as _apgd_kernel) ----
     L_apgd = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ac), axis=1), axis=0), 1e-6)
