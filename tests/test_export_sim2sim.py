@@ -114,3 +114,21 @@ def test_native_eval_farm():
     out = run_eval_farm(XBOT_MJCF, bin_path, rollouts=4, duration=3.0)
     assert out["summary"]["survived"] == 4, out
     assert out["summary"]["mean_distance_x"] > 0.5, out
+
+
+def test_shipped_demo_policy_walks():
+    """The shipped demo artifact must keep walking in MuJoCo (guards the
+    checked-in policy + the whole deployment contract)."""
+    demo = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "policies", "xbotl_walk_demo.npz",
+    )
+    if not os.path.exists(demo):
+        pytest.skip("demo artifact not present")
+    from humanoid_gym_tpu.export.policy_export import load_policy
+    from humanoid_gym_tpu.export.sim2sim import Sim2SimCfg, run_mujoco
+
+    cfg = Sim2SimCfg(mujoco_model_path=XBOT_MJCF, sim_duration=5.0)
+    out = run_mujoco(load_policy(demo), cfg)
+    assert out["fallen_at_s"] is None, out
+    assert out["distance_x"] > 0.5, out
