@@ -54,9 +54,14 @@ def train(args):
 
     def overrides(c):
         update_cfg_from_args(c, None, args)
-        # solver override for experiments (e.g. HGT_SOLVER=apgd_pallas)
-        if os.environ.get("HGT_SOLVER"):
-            c.sim.solver.solver_type = os.environ["HGT_SOLVER"]
+        # solver: fused Pallas kernel on accelerators (2.3x sustained
+        # throughput), XLA apgd on CPU; HGT_SOLVER overrides
+        import jax
+
+        default_solver = (
+            "fused_pallas" if jax.default_backend() != "cpu" else "apgd"
+        )
+        c.sim.solver.solver_type = os.environ.get("HGT_SOLVER", default_solver)
 
     env, _ = registry.make_env(
         args.task,
