@@ -152,7 +152,17 @@ class OnPolicyRunner:
                 )
             else:
                 ep_len = ep_len_all
-            self.env_state = self.env_state.replace(episode_length=ep_len)
+            if isinstance(self.env_state, list):  # JointEnv: list of pytrees
+                parts, off = [], 0
+                for st in self.env_state:
+                    n = st.episode_length.shape[0]
+                    parts.append(
+                        st.replace(episode_length=ep_len[off : off + n])
+                    )
+                    off += n
+                self.env_state = parts
+            else:
+                self.env_state = self.env_state.replace(episode_length=ep_len)
 
         start_iter = self.current_learning_iteration
         tot_iter = start_iter + num_learning_iterations
