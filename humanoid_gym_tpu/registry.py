@@ -14,13 +14,14 @@ from typing import Callable, Dict, NamedTuple, Optional
 class TaskSpec(NamedTuple):
     make_env_cfg: Callable  # () -> LeggedRobotCfg
     make_train_cfg: Callable  # () -> PPOCfg
+    make_env_custom: Optional[Callable] = None  # (num_envs) -> env
 
 
 _REGISTRY: Dict[str, TaskSpec] = {}
 
 
-def register(name: str, make_env_cfg, make_train_cfg) -> None:
-    _REGISTRY[name] = TaskSpec(make_env_cfg, make_train_cfg)
+def register(name: str, make_env_cfg, make_train_cfg, make_env_custom=None) -> None:
+    _REGISTRY[name] = TaskSpec(make_env_cfg, make_train_cfg, make_env_custom)
 
 
 def get_task(name: str) -> TaskSpec:
@@ -43,6 +44,8 @@ def make_env(name: str, num_envs: Optional[int] = None, cfg_overrides=None):
         cfg_overrides(cfg)
     if num_envs is not None:
         cfg.env.num_envs = num_envs
+    if spec.make_env_custom is not None:
+        return spec.make_env_custom(cfg.env.num_envs), cfg
     return _make(cfg), cfg
 
 
@@ -82,6 +85,20 @@ def _register_builtin():
     from .config.xbots import XBotSCfg, XBotSCfgPPO
 
     register("humanoid_s_ppo", XBotSCfg, XBotSCfgPPO)
+
+    # joint XBot-L + XBot-S batch under one policy (BASELINE config[4])
+    def joint_env(num_envs):
+        from .envs.joint import make_joint_xbot_env
+
+        half = num_envs // 2
+        return make_joint_xbot_env(num_envs - half, half)
+
+    def joint_ppo():
+        cfg = XBotLCfgPPO()
+        cfg.runner.experiment_name = "XBot_joint_ppo"
+        return cfg
+
+    register("humanoid_joint_ppo", XBotLCfg, joint_ppo, make_env_custom=joint_env)
 
 
 _register_builtin()
