@@ -34,6 +34,20 @@ N_POINTS = 16  # contact blocks (8 sole points x 2 feet)
 ROWS = 64  # padded row count (60 real rows)
 ENV_TILE = 128
 
+# Ambient mesh for pallas solver dispatch (set by the runner on multi-device
+# meshes; consulted at trace time). A bare pallas_call has no GSPMD rule, so
+# sharded batches must go through shard_map over this mesh.
+_SOLVER_MESH = None
+
+
+def set_solver_mesh(mesh) -> None:
+    global _SOLVER_MESH
+    _SOLVER_MESH = mesh if mesh is not None and mesh.size > 1 else None
+
+
+def get_solver_mesh():
+    return _SOLVER_MESH
+
 
 def _apgd_kernel(
     A_ref, r_ref, step_ref, mu_ref, nlim_ref, iters_ref, lam_ref
@@ -438,9 +452,12 @@ def fused_solve_pallas(
     return qvel_new, lam
 
 
-def make_fused_batched(iterations: int, interpret: bool = False):
+def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
     """custom_vmap wrapper: single-env falls back to XLA path; vmapped batch
-    dispatches the fused kernel."""
+    dispatches the fused kernel. With `mesh`, the batched call is wrapped in
+    shard_map over the env axis — a bare pallas_call has no GSPMD partition
+    rule, so this is required for multi-chip meshes (each device runs the
+    kernel on its local env shard; zero cross-chip traffic)."""
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
@@ -458,13 +475,30 @@ def make_fused_batched(iterations: int, interpret: bool = False):
         qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
         return qvel_new, lam
 
+    def batched(*args):
+        return fused_solve_pallas(*args, iterations=iterations, interpret=interpret)
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        spec = P(axis)
+        batched = shard_map(
+            batched,
+            mesh=mesh,
+            in_specs=(spec,) * 8,
+            out_specs=(spec, spec),
+            check_rep=False,
+        )
+
     @solve.def_vmap
     def _rule(axis_size, in_batched, *args):
         args = [
             x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
             for x, b in zip(args, in_batched)
         ]
-        out = fused_solve_pallas(*args, iterations=iterations, interpret=interpret)
+        out = batched(*args)
         return out, (True, True)
 
     return solve

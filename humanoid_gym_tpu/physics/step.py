@@ -115,8 +115,12 @@ def make_substep(
             D = jnp.concatenate([jnp.zeros(6, tau.dtype), implicit_d])
             Mt = dyn.M + dt * jnp.diag(D)
             rhs = dt * (gen_force - dyn.h)
+            from .pallas_solver import get_solver_mesh
+
             fused = make_fused_batched(
-                solver_iterations, interpret=solver.endswith("interpret")
+                solver_iterations,
+                interpret=solver.endswith("interpret"),
+                mesh=get_solver_mesh(),
             )
             qvel_new, lam = fused(
                 Mt, setup.J, qvel, rhs, setup.lo_bound, sign, lb, state.friction

@@ -75,6 +75,11 @@ class OnPolicyRunner:
         # sharding: env axis over all devices, params replicated
         self.mesh = device_mesh or make_env_mesh()
         multi_process = jax.process_count() > 1
+        if len(self.mesh.devices.flat) > 1:
+            # pallas solvers need shard_map dispatch on multi-device meshes
+            from ..physics.pallas_solver import set_solver_mesh
+
+            set_solver_mesh(self.mesh)
 
         # env state + first obs (reference on_policy_runner.py:91 env.reset())
         if multi_process:

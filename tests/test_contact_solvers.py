@@ -208,3 +208,57 @@ def test_fused_pallas_matches_standard(xbot_model):
         np.asarray(fus.contact_forces), np.asarray(ref.contact_forces),
         atol=2.0,
     )
+
+
+def test_fused_pallas_shard_map(xbot_model):
+    """Fused solver dispatched through shard_map over an 8-device mesh must
+    match the unsharded result (the multi-chip dispatch path)."""
+    import numpy as np
+
+    from humanoid_gym_tpu.parallel.mesh import make_env_mesh, shard_env_axis
+    from humanoid_gym_tpu.physics import pallas_solver as PS
+    from humanoid_gym_tpu.physics.step import default_state, make_physics_step
+    from humanoid_gym_tpu.terrain.terrain import flat_height_fn
+
+    m = xbot_model
+    kp = jnp.asarray(
+        [200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15], jnp.float32
+    )
+    kd = jnp.full(12, 10.0)
+    tl = m.dof_effort * 0.85
+    N = 8
+
+    def build(mesh):
+        PS.set_solver_mesh(mesh)
+        try:
+            step = make_physics_step(
+                m, 0.001, 1, kp, kd, tl, flat_height_fn,
+                solver_iterations=20, solver="fused_pallas_interpret",
+            )
+            return jax.jit(jax.vmap(step, in_axes=(0, None)))
+        finally:
+            PS.set_solver_mesh(None)
+
+    st = default_state(m, jnp.asarray([0.0, 0.0, 0.9]), jnp.asarray([1.0, 0, 0, 0]))
+    stb = jax.tree.map(lambda x: jnp.broadcast_to(x, (N,) + x.shape), st)
+
+    ref_step = build(None)
+    out_ref = ref_step(stb, jnp.zeros(12))
+
+    mesh = make_env_mesh()
+    assert mesh.size == 8
+    PS.set_solver_mesh(mesh)
+    try:
+        step_sm = make_physics_step(
+            m, 0.001, 1, kp, kd, tl, flat_height_fn,
+            solver_iterations=20, solver="fused_pallas_interpret",
+        )
+        vstep = jax.jit(jax.vmap(step_sm, in_axes=(0, None)))
+        stb_sh = shard_env_axis(stb, mesh)
+        out_sm = vstep(stb_sh, jnp.zeros(12))
+    finally:
+        PS.set_solver_mesh(None)
+
+    np.testing.assert_allclose(
+        np.asarray(out_sm.qvel), np.asarray(out_ref.qvel), atol=1e-5
+    )
