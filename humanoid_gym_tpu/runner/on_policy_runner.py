@@ -251,6 +251,8 @@ class OnPolicyRunner:
             "Train/mean_episode_length": mean_len,
             "Train/mean_step_reward": float(metrics["mean_step_reward"]),
             "Train/nonfinite_resets": float(metrics["nonfinite_resets"]),
+            # (reference legged_robot.py:204-205 logs terrain level for trimesh)
+            "Episode/terrain_level": float(metrics["mean_terrain_level"]),
         }
         # per-term episode reward means (reference Episode/rew_* scalars)
         if n_resets > 0:
