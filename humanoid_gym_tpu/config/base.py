@@ -141,6 +141,10 @@ class DomainRandCfg:
     max_push_ang_vel: float = 0.0
     action_delay: float = 0.0
     action_noise: float = 0.0
+    # contact-model DR: per-env Baumgarte stabilization scale (engine-gap
+    # robustness; reference has no analog — PhysX params are global)
+    randomize_contact_stiffness: bool = False
+    contact_stiffness_range: List[float] = _f(lambda: [0.5, 2.0])
 
 
 @dataclass

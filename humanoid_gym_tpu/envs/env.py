@@ -306,7 +306,7 @@ class HumanoidEnv:
         (reference legged_robot.py:257-269,296-302), commands sampled."""
         m = self.model
         cfg = self.cfg
-        k_fric, k_bucket, k_mass, k_cmd, k_phys, k_lvl, k_state = jax.random.split(key, 7)
+        (k_fric, k_bucket, k_mass, k_cmd, k_phys, k_lvl, k_cstiff, k_state) = jax.random.split(key, 8)
 
         if cfg.domain_rand.randomize_friction:
             lo, hi = cfg.domain_rand.friction_range
@@ -346,12 +346,23 @@ class HumanoidEnv:
             ttype = jnp.asarray(0, jnp.int32)
             origin = jnp.zeros(3)
 
+        if cfg.domain_rand.randomize_contact_stiffness:
+            lo, hi = cfg.domain_rand.contact_stiffness_range
+            # log-uniform: stiffness is a ratio quantity
+            u = jax.random.uniform(k_cstiff, ())
+            contact_stiffness = jnp.exp(
+                jnp.log(lo) + u * (jnp.log(hi) - jnp.log(lo))
+            )
+        else:
+            contact_stiffness = jnp.asarray(1.0)
+
         qpos, qvel = self._reset_phys(k_phys, origin)
         phys = PhysicsState(
             qpos=qpos,
             qvel=qvel,
             friction=friction,
             base_mass_scale=mass_scale,
+            contact_stiffness=contact_stiffness,
             contact_forces=jnp.zeros((m.nbody, 3)),
             torques=jnp.zeros(m.nj),
         )

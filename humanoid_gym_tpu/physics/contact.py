@@ -278,10 +278,11 @@ def resolve_contacts(
     contact_offset: float = 0.01,
     max_depen_vel: float = 1.0,
     solver: str = "apgd",
+    baumgarte=0.2,
 ) -> ContactResult:
     setup = build_contact_setup(
         model, dyn, terrain_height_fn, dt, contact_offset=contact_offset,
-        max_depen_vel=max_depen_vel,
+        max_depen_vel=max_depen_vel, baumgarte=baumgarte,
     )
     sign, lb = joint_limit_bounds(model, qpos, dt)
     K = setup.phi.shape[0]

@@ -33,6 +33,7 @@ class PhysicsState:
     # per-env physical randomization
     friction: jnp.ndarray  # () contact friction coefficient
     base_mass_scale: jnp.ndarray  # () multiplicative base-mass randomization
+    contact_stiffness: jnp.ndarray  # () Baumgarte scale (contact-model DR)
     # outputs of the last substep (for observations / rewards)
     contact_forces: jnp.ndarray  # (nb,3) net per-body contact force [N]
     torques: jnp.ndarray  # (nj,) last applied actuator torques
@@ -47,6 +48,7 @@ def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> Physi
         qvel=jnp.zeros(nv),
         friction=jnp.asarray(1.0),
         base_mass_scale=jnp.asarray(1.0),
+        contact_stiffness=jnp.asarray(1.0),
         contact_forces=jnp.zeros((nb, 3)),
         torques=jnp.zeros(njnt),
     )
@@ -109,7 +111,8 @@ def make_substep(
             from .pallas_solver import make_fused_batched
 
             setup = build_contact_setup(
-                model, dyn, terrain_height_fn, dt, max_depen_vel=max_depen_vel
+                model, dyn, terrain_height_fn, dt, max_depen_vel=max_depen_vel,
+                baumgarte=0.2 * state.contact_stiffness,
             )
             sign, lb = joint_limit_bounds(model, qpos, dt)
             D = jnp.concatenate([jnp.zeros(6, tau.dtype), implicit_d])
@@ -145,6 +148,7 @@ def make_substep(
                 iterations=solver_iterations,
                 max_depen_vel=max_depen_vel,
                 solver=solver,
+                baumgarte=0.2 * state.contact_stiffness,
             )
         qvel_new = res.qvel_new
         # DOF velocity limits (PhysX clamps at maxVelocity; URDF <limit velocity>)

@@ -313,3 +313,24 @@ def test_measured_heights_priv_obs():
     h = newest[:, 73:]
     assert h.shape[1] == P
     assert np.all(np.isfinite(h)) and np.all(np.abs(h) <= 5.0 + 1e-5)
+
+
+def test_contact_stiffness_dr():
+    """Contact-model DR: per-env Baumgarte scale sampled in range, default 1."""
+    cfg = _quiet_cfg(4)
+    cfg.domain_rand.randomize_contact_stiffness = True
+    cfg.domain_rand.contact_stiffness_range = [0.5, 2.0]
+    env = make_env(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    state = jax.jit(env.init_state)(keys, jnp.arange(4))
+    cs = np.asarray(state.phys.contact_stiffness)
+    assert np.all(cs >= 0.5) and np.all(cs <= 2.0)
+    assert len(np.unique(cs.round(6))) > 1  # actually randomized
+    # default off -> exactly 1
+    cfg2 = _quiet_cfg(2)
+    env2 = make_env(cfg2)
+    st2 = jax.jit(env2.init_state)(jax.random.split(jax.random.PRNGKey(0), 2), jnp.arange(2))
+    np.testing.assert_array_equal(np.asarray(st2.phys.contact_stiffness), 1.0)
+    # steps fine with DR on
+    state, tr = jax.jit(env.step)(state, jnp.zeros((4, 12)))
+    assert np.all(np.isfinite(np.asarray(tr.obs)))
