@@ -13,7 +13,7 @@ import math
 import os
 
 from . import base as B
-from .xbotl import XBOT_DOF_NAMES, XBotLCfg, XBotLCfgPPO
+from .xbotl import XBotLCfg, XBotLCfgPPO
 
 SCALE = 1.2 / 1.65
 _SQ = math.sqrt(SCALE)

@@ -35,7 +35,7 @@ Deliberate, documented equivalences (not copies) of engine-level signals:
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,11 +32,9 @@ from . import spatial as S
 from .linalg import chol_unrolled, solve_spd_chol
 from .kinematics import (
     FK,
-    BodyVel,
     ancestor_mask,
     body_jacobians,
     body_velocities,
-    dof_basis,
     f32_matmul,
     fk,
 )

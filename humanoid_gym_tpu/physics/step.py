@@ -9,7 +9,7 @@ All functions are single-env; the env layer vmaps them.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -23,12 +23,11 @@ from collections import deque
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
 from ..algo.networks import ActorCritic
-from ..algo.ppo import PPOConfig, TrainState, init_train_state, make_train_iter
+from ..algo.ppo import PPOConfig, init_train_state, make_train_iter
 from ..parallel.mesh import make_env_mesh, replicate, shard_env_axis
 
 
