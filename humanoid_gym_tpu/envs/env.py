@@ -201,7 +201,8 @@ class HumanoidEnv:
         self._pen_bodies = tuple(m.penalized_body_idx)
 
         # batched public API
-        self.step = jax.vmap(self._step_single)
+        self._vstep = jax.vmap(self._step_single)
+        self.step = self._step_batch
         self.init_state = jax.vmap(self._init_single)  # (keys, env_idx) -> EnvState
 
     # ------------------------------------------------------------------ #
@@ -412,9 +413,9 @@ class HumanoidEnv:
         cfg = self.cfg
         m = self.model
         clip_a = cfg.normalization.clip_actions
-        rng, k_delay, k_an, k_pf, k_pt, k_cmd, k_obs, k_reset, k_rcmd = jax.random.split(
-            state.rng, 9
-        )
+        (
+            rng, k_delay, k_an, k_pf, k_pt, k_cmd, k_obs, k_reset, k_rcmd, k_lvl
+        ) = jax.random.split(state.rng, 10)
 
         # ---- XBot action pipeline (humanoid_env.py:189-197) ----
         a = policy_action
@@ -574,7 +575,7 @@ class HumanoidEnv:
             )
             move_down = (dist < need) & ~move_up
             new_level = level + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
-            rand_level = jax.random.randint(k_reset, (), 0, self.max_terrain_level)
+            rand_level = jax.random.randint(k_lvl, (), 0, self.max_terrain_level)
             new_level = jnp.where(
                 new_level >= self.max_terrain_level,
                 rand_level,
@@ -585,25 +586,12 @@ class HumanoidEnv:
                 done, self.terrain_origins[level, ttype], env_origin
             )
 
-        # command curriculum (legged_robot.py:179-180,422-431): expand this
-        # env's lin_vel_x range when its tracking reward cleared 80% of max,
-        # checked once per max_episode_length steps at reset time.
+        # command curriculum (legged_robot.py:179-180,422-431) is GLOBAL:
+        # one shared lin_vel_x range widened from the mean tracking reward
+        # over resetting envs. That cross-env reduction cannot live in this
+        # per-env (vmapped) function — it is applied in the `_step_batch`
+        # epilogue below; here the range is just carried through.
         cmd_vx_range = state.cmd_vx_range
-        if self.cfg.commands.curriculum and "tracking_lin_vel" in self.reward_names:
-            ti = self.reward_names.index("tracking_lin_vel")
-            track_scale = self.reward_scales[ti]
-            good = (
-                episode_sums[ti] / self.max_episode_length > 0.8 * track_scale
-            )
-            check = (common_step % self.max_episode_length) == 0
-            mc = self.cfg.commands.max_curriculum
-            grown = jnp.stack(
-                [
-                    jnp.clip(cmd_vx_range[0] - 0.5, -mc, 0.0),
-                    jnp.clip(cmd_vx_range[1] + 0.5, 0.0, mc),
-                ]
-            )
-            cmd_vx_range = jnp.where(done & check & good, grown, cmd_vx_range)
 
         qpos_r, qvel_r = self._reset_phys(k_reset, env_origin)
         phys = phys.replace(
@@ -771,6 +759,47 @@ class HumanoidEnv:
         return new_state, trans
 
     # ------------------------------------------------------------------ #
+
+    def _step_batch(self, state: EnvState, actions: jnp.ndarray):
+        """Batched step: vmapped per-env step + global command curriculum.
+
+        Reference `update_command_curriculum` (legged_robot.py:422-431)
+        widens ONE global lin_vel_x range by +-0.5 (clipped to
+        max_curriculum) when the mean tracking_lin_vel episode reward over
+        the envs resetting this step exceeds 80% of its per-step maximum,
+        gated to once per max_episode_length common steps. The mean is a
+        cross-env reduction (a psum under env-axis sharding). Deviation
+        note: the reference widens the range *before* the same-step command
+        resample; here resetting envs sample from the pre-update range and
+        the widened range applies from the next reset on (one-resample lag,
+        gate fires at most once per episode length so the lag is one step).
+        """
+        new_state, trans = self._vstep(state, actions)
+        if self.cfg.commands.curriculum and "tracking_lin_vel" in self.reward_names:
+            ti = self.reward_names.index("tracking_lin_vel")
+            track_scale = self.reward_scales[ti]
+            n_reset = jnp.sum(trans.done)
+            # ep_term_sums[:, ti] = episode_sums[ti]/episode_length_s at
+            # reset (0 elsewhere); x dt recovers sums/max_episode_length.
+            mean_track = (
+                jnp.sum(trans.ep_term_sums[:, ti]) * self.dt
+                / jnp.maximum(n_reset, 1)
+            )
+            check = (new_state.common_step[0] % self.max_episode_length) == 0
+            good = (n_reset > 0) & check & (mean_track > 0.8 * track_scale)
+            mc = self.cfg.commands.max_curriculum
+            cur = new_state.cmd_vx_range  # (N, 2), globally synchronized
+            grown = jnp.stack(
+                [
+                    jnp.clip(cur[:, 0] - 0.5, -mc, 0.0),
+                    jnp.clip(cur[:, 1] + 0.5, 0.0, mc),
+                ],
+                axis=-1,
+            )
+            new_state = new_state.replace(
+                cmd_vx_range=jnp.where(good, grown, cur)
+            )
+        return new_state, trans
 
     def reset_all(self, key):
         """Fresh batched state + first obs via a zero-action step

@@ -3,8 +3,8 @@
 Replays an exported policy in MuJoCo 2.3.x at 1 kHz with the deployment
 observation contract of the reference (scripts/sim2sim.py:70-160):
 sensor-only obs (no privileged info), 47-dim single frame, 15-deep history,
-100 Hz policy / 1 kHz PD at kp/kd from the task config, torque clip +-180*?
-(reference tau_limit = 200 * 0.85 scale via cfg), command vx fixed.
+100 Hz policy / 1 kHz PD at kp/kd from the task config, flat +-200 Nm torque
+clip (reference sim2sim.py:190), command vx fixed.
 
 This is the e2e integration test of the whole framework: a policy trained in
 the JAX engine must walk in MuJoCo (BASELINE.md validation row).
@@ -54,8 +54,11 @@ class Sim2SimCfg:
             [10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10], np.float64
         )
     )
+    # flat 200 Nm deployment clamp (reference sim2sim.py:190) — NOTE this is
+    # intentionally looser than training's 0.85x per-joint effort limits;
+    # the transfer-validation contract uses the reference's value verbatim.
     tau_limit: np.ndarray = field(
-        default_factory=lambda: 200.0 * 0.85 * np.ones(12, np.float64)
+        default_factory=lambda: 200.0 * np.ones(12, np.float64)
     )
 
 

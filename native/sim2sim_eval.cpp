@@ -135,7 +135,7 @@ Result run_rollout(const mjModel* m, const Policy& pol, const Config& cfg,
   mj_step(m, d);
 
   const int kp_arr[12] = {200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15};
-  const double kd = 10.0, tau_limit = 200.0 * 0.85;
+  const double kd = 10.0, tau_limit = 200.0;  // flat clamp, reference sim2sim.py:190
 
   std::deque<std::vector<float>> hist;
   for (int i = 0; i < cfg.frame_stack; ++i)

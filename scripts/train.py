@@ -70,7 +70,9 @@ def train(args):
     )
     runner = OnPolicyRunner(env, train_cfg, log_dir=log_dir)
     if resume_path is not None:
-        runner.load(resume_path, load_optimizer=False)
+        # exact resume: restore Adam moments/count alongside params
+        # (reference restores optimizer state by default, on_policy_runner.py:289-295)
+        runner.load(resume_path, load_optimizer=True)
     runner.learn(
         num_learning_iterations=train_cfg.runner.max_iterations,
         init_at_random_ep_len=True,

@@ -334,3 +334,41 @@ def test_contact_stiffness_dr():
     # steps fine with DR on
     state, tr = jax.jit(env.step)(state, jnp.zeros((4, 12)))
     assert np.all(np.isfinite(np.asarray(tr.obs)))
+
+
+def test_command_curriculum_global():
+    """Global command curriculum (reference legged_robot.py:422-431): one
+    shared lin_vel_x range, widened +-0.5 from the mean tracking reward over
+    resetting envs, gated to once per max_episode_length common steps."""
+    cfg = _quiet_cfg(4)
+    cfg.commands.curriculum = True
+    cfg.commands.max_curriculum = 1.7
+    env = make_env(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    state = jax.jit(env.init_state)(keys, jnp.arange(4))
+    ti = env.reward_names.index("tracking_lin_vel")
+    track_scale = float(env.reward_scales[ti])
+    # craft a state about to reset at the gate step with perfect tracking
+    L = env.max_episode_length
+    es = jnp.zeros_like(state.episode_sums)
+    es = es.at[:, ti].set(0.95 * track_scale * L)  # > 0.8 threshold
+    state = state.replace(
+        episode_sums=es,
+        episode_length=jnp.full((4,), L, state.episode_length.dtype),
+        common_step=jnp.full((4,), L - 1, state.common_step.dtype),
+    )
+    state2, tr = jax.jit(env.step)(state, jnp.zeros((4, 12)))
+    assert bool(tr.done.all())  # everyone timed out
+    rng = np.asarray(state2.cmd_vx_range)
+    base = np.asarray(cfg.commands.ranges.lin_vel_x, np.float32)
+    exp = np.array([max(base[0] - 0.5, -1.7), min(base[1] + 0.5, 1.7)])
+    np.testing.assert_allclose(rng, np.broadcast_to(exp, rng.shape), atol=1e-6)
+    # below threshold: range unchanged
+    state3 = state.replace(
+        episode_sums=jnp.zeros_like(state.episode_sums),
+    )
+    state4, _ = jax.jit(env.step)(state3, jnp.zeros((4, 12)))
+    np.testing.assert_allclose(
+        np.asarray(state4.cmd_vx_range),
+        np.broadcast_to(base, rng.shape), atol=1e-6,
+    )
