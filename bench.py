@@ -44,9 +44,9 @@ def main():
 
     cfg = XBotLCfg()
     cfg.env.num_envs = num_envs
-    # the Pallas APGD kernel is the production solver on TPU (fastest + ~7x
-    # faster compile); XLA apgd elsewhere; HGT_SOLVER overrides
-    default_solver = "fused_pallas" if jax.default_backend() != "cpu" else "apgd"
+    # the mega kernel (whole decimation loop in one Pallas launch) is the
+    # production solver on TPU; XLA apgd on CPU; HGT_SOLVER overrides
+    default_solver = "mega" if jax.default_backend() != "cpu" else "apgd"
     cfg.sim.solver.solver_type = os.environ.get("HGT_SOLVER", default_solver)
     tcfg = XBotLCfgPPO()
     env = make_env(cfg)

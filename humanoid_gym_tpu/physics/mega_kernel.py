@@ -1,0 +1,822 @@
+"""Lane-major full-physics mega-kernel: one Pallas launch per policy step.
+
+Round-1 measurement (docs/PERFORMANCE.md): with the fused contact kernel the
+remaining physics cost is the ~450-op XLA dispatch chain per 1 kHz substep
+(FK, bias forces, CRBA, Jacobian assembly, marshalling) — latency-bound, not
+FLOP-bound. This kernel moves the ENTIRE substep on-chip and runs all
+`decimation` substeps per launch, so one policy step of physics is ONE
+kernel dispatch + one marshalling transpose each way.
+
+Layout: env-on-lanes. Every per-env scalar (a joint angle, a rotation-matrix
+entry, a mass-matrix entry) is a (ENV_TILE,)-wide f32 vector; the
+rigid-body math (FK down the tree, velocity/bias recursion, composite
+moments) is straight-line "register" arithmetic on those vectors with all
+model constants (joint frames, axes, inertias, gains) folded into the
+instruction stream at trace time. The contact solve reuses the round-1
+tiled `_fused_core` (cholesky + triangular solves + Delassus + APGD on
+(row, env-lane) VMEM tiles).
+
+Mass matrix: composite-rigid-body with moments about the WORLD ORIGIN
+(m, s = Σ m·c, I_o = Σ I_com + m(|c|²E − ccᵀ)), so child→parent composite
+accumulation is plain addition (no frame shifts). A DOF's screw about the
+origin is S = (ω, v_o); the momentum it induces through composite C is
+F = (m v_o + ω×s, I_o ω + s×v_o) and M[i,j] = S_j ∘ F_i = ω_j·τ + v_j·f,
+with F computed from the DEEPER column's composite. Cross-leg blocks are
+structurally zero and never touched.
+
+Scope: flat-plane terrain only (ground height ≡ 0; heightfield tasks use
+the `fused_pallas` path — an in-kernel per-lane heightfield gather has no
+Mosaic lowering). Physics capability replaced: Isaac Gym PhysX `gym.simulate`
+decimation loop (reference legged_robot.py:94-102, humanoid_config.py:131-147).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .model import RobotModel
+from .pallas_solver import ENV_TILE, N_POINTS, NV, NVP, ROWS, _fused_core
+
+# input/output row layouts (env-lane-major tiles)
+NQ = 19
+IN_QPOS = 0
+IN_QVEL = 19
+IN_TGT = 37
+IN_FRIC = 49
+IN_MS = 50
+IN_CSTIFF = 51
+IN_ROWS = 56  # padded to sublane multiple
+
+OUT_QPOS = 0
+OUT_QVEL = 19
+OUT_LAM = 37  # 60 rows (48 contact + 12 limit), physical signs
+OUT_TAU = 97
+OUT_ROWS = 112
+
+_NC3 = 3 * N_POINTS
+
+
+# --------------------------------------------------------------------------- #
+# trace-time "symbolic scalar" helpers: values are python floats (constants,
+# folded at trace time), traced (ENV_TILE,) arrays, or None (exact zero).
+# --------------------------------------------------------------------------- #
+
+def _is_const(x):
+    return x is None or isinstance(x, (int, float))
+
+
+def _mul(a, b):
+    if a is None or b is None:
+        return None
+    if _is_const(a) and _is_const(b):
+        return float(a) * float(b)
+    if _is_const(a):
+        a = float(a)
+        if a == 0.0:
+            return None
+        if a == 1.0:
+            return b
+        if a == -1.0:
+            return -b
+        return a * b
+    if _is_const(b):
+        return _mul(b, a)
+    return a * b
+
+
+def _add(*terms):
+    live = [t for t in terms if t is not None]
+    if not live:
+        return None
+    consts = [float(t) for t in live if _is_const(t)]
+    arrs = [t for t in live if not _is_const(t)]
+    c = sum(consts)
+    if not arrs:
+        return c if c != 0.0 else None
+    acc = arrs[0]
+    for t in arrs[1:]:
+        acc = acc + t
+    if c != 0.0:
+        acc = acc + c
+    return acc
+
+
+def _neg(a):
+    if a is None:
+        return None
+    if _is_const(a):
+        return -float(a)
+    return -a
+
+
+def _sub(a, b):
+    return _add(a, _neg(b))
+
+
+# 3-vectors as tuples of symbolic scalars
+def v3(x=None, y=None, z=None):
+    return (x, y, z)
+
+
+def v_add(*vs):
+    return tuple(_add(*[v[i] for v in vs]) for i in range(3))
+
+
+def v_sub(a, b):
+    return tuple(_sub(a[i], b[i]) for i in range(3))
+
+
+def v_scale(v, s):
+    return tuple(_mul(v[i], s) for i in range(3))
+
+
+def v_dot(a, b):
+    return _add(*[_mul(a[i], b[i]) for i in range(3)])
+
+
+def v_cross(a, b):
+    return (
+        _sub(_mul(a[1], b[2]), _mul(a[2], b[1])),
+        _sub(_mul(a[2], b[0]), _mul(a[0], b[2])),
+        _sub(_mul(a[0], b[1]), _mul(a[1], b[0])),
+    )
+
+
+def const_v3(v):
+    return (float(v[0]), float(v[1]), float(v[2]))
+
+
+# 3x3 matrices as tuples of row tuples
+def const_m3(m):
+    return tuple(tuple(float(m[i][j]) for j in range(3)) for i in range(3))
+
+
+def m_mul(A, B):
+    return tuple(
+        tuple(_add(*[_mul(A[i][k], B[k][j]) for k in range(3)]) for j in range(3))
+        for i in range(3)
+    )
+
+
+def m_vec(A, v):
+    return tuple(_add(*[_mul(A[i][k], v[k]) for k in range(3)]) for i in range(3))
+
+
+def mT_vec(A, v):
+    return tuple(_add(*[_mul(A[k][i], v[k]) for k in range(3)]) for i in range(3))
+
+
+def m_transpose(A):
+    return tuple(tuple(A[j][i] for j in range(3)) for i in range(3))
+
+
+# symmetric 3x3 as 6-tuple (xx, yy, zz, xy, xz, yz)
+def sym_from_m3(A):
+    return (A[0][0], A[1][1], A[2][2], A[0][1], A[0][2], A[1][2])
+
+
+def sym_add(*ss):
+    return tuple(_add(*[s[i] for s in ss]) for i in range(6))
+
+
+def sym_vec(S, v):
+    xx, yy, zz, xy, xz, yz = S
+    return (
+        _add(_mul(xx, v[0]), _mul(xy, v[1]), _mul(xz, v[2])),
+        _add(_mul(xy, v[0]), _mul(yy, v[1]), _mul(yz, v[2])),
+        _add(_mul(xz, v[0]), _mul(yz, v[1]), _mul(zz, v[2])),
+    )
+
+
+def _materialize(x, dtype=jnp.float32):
+    """Symbolic scalar -> concrete (ENV_TILE,) array for stores."""
+    if x is None:
+        return jnp.zeros((ENV_TILE,), dtype)
+    if _is_const(x):
+        return jnp.full((ENV_TILE,), float(x), dtype)
+    return x
+
+
+# --------------------------------------------------------------------------- #
+# static model extraction (numpy, once per kernel build)
+# --------------------------------------------------------------------------- #
+
+class _StaticModel:
+    def __init__(self, model: RobotModel, kp, kd, torque_limit):
+        self.nb = model.nbody
+        self.nj = model.nj
+        self.parent = list(model.body_parent)
+        self.joint_pos = np.asarray(model.joint_pos, np.float64)
+        self.joint_rot = np.asarray(model.joint_rot, np.float64)
+        self.joint_axis = np.asarray(model.joint_axis, np.float64)
+        self.mass = np.asarray(model.body_mass, np.float64)
+        self.com = np.asarray(model.body_com, np.float64)
+        self.inertia = np.asarray(model.body_inertia, np.float64)
+        self.damping = np.asarray(model.dof_damping, np.float64)
+        self.friction = np.asarray(model.dof_friction, np.float64)
+        self.armature = np.asarray(model.dof_armature, np.float64)
+        self.lower = np.asarray(model.dof_lower, np.float64)
+        self.upper = np.asarray(model.dof_upper, np.float64)
+        self.vel_limit = np.asarray(model.dof_vel_limit, np.float64)
+        self.kp = np.asarray(kp, np.float64)
+        self.kd = np.asarray(kd, np.float64)
+        self.tlim = np.asarray(torque_limit, np.float64)
+        self.gravity = np.asarray(model.gravity, np.float64)
+        self.cbody = list(model.contact_point_body)
+        self.coff = np.asarray(model.contact_point_offset, np.float64)
+        # per-joint rotation-about-axis coefficient matrices:
+        # Raxis(θ) = I + sinθ·K + (1−cosθ)·K² → entry = (I+K²) + K·s − K²·c
+        self.ax_const = []
+        self.ax_sin = []
+        self.ax_cos = []
+        for a in self.joint_axis:
+            a = a / np.linalg.norm(a)
+            K = np.array(
+                [[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]]
+            )
+            K2 = K @ K
+            self.ax_const.append(np.eye(3) + K2)
+            self.ax_sin.append(K)
+            self.ax_cos.append(-K2)
+        # ancestor joint list per body (root-first)
+        self.anc = []
+        for b in range(self.nb):
+            chain = []
+            cur = b
+            while cur != 0:
+                chain.append(cur - 1)  # joint i moves body i+1
+                cur = self.parent[cur]
+            self.anc.append(list(reversed(chain)))
+
+
+# --------------------------------------------------------------------------- #
+# the kernel
+# --------------------------------------------------------------------------- #
+
+def _build_mega_kernel(
+    sm: _StaticModel,
+    dt: float,
+    decimation: int,
+    iterations: int,
+    contact_offset: float,
+    max_depen_vel: float,
+    lim_baumgarte: float,
+    lim_max_depen: float,
+    lim_margin: float,
+):
+    nj = sm.nj
+    nb = sm.nb
+    K = len(sm.cbody)
+    assert K == N_POINTS and nj == 12 and nb == 13
+
+    def kernel(in_ref, out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s):
+        """st_s rows: 0-18 qpos, 19-36 qvel, 37-96 lam, 97-108 tau."""
+        inp = in_ref[0]  # (IN_ROWS, 128)
+        mu = inp[IN_FRIC][None, :]  # (1, 128)
+        ms = inp[IN_MS]  # base-mass scale
+        cstiff = inp[IN_CSTIFF]
+        tgt_cmd = [inp[IN_TGT + j] for j in range(nj)]
+
+        # scratch init (static patterns built from iotas — Mosaic-safe)
+        f32 = jnp.float32
+        mr = jax.lax.broadcasted_iota(jnp.int32, (NVP, NVP, ENV_TILE), 0)
+        mc = jax.lax.broadcasted_iota(jnp.int32, (NVP, NVP, ENV_TILE), 1)
+        # padded Mtilde diagonal carries identity
+        Mt_s[...] = jnp.where((mr == mc) & (mr >= NV), 1.0, 0.0).astype(f32)
+        jv = jax.lax.broadcasted_iota(jnp.int32, (NVP, ROWS, ENV_TILE), 0)
+        jr = jax.lax.broadcasted_iota(jnp.int32, (NVP, ROWS, ENV_TILE), 1)
+        # base-translation columns of every contact row + limit identity rows
+        base_tr = (jv < 3) & (jr < _NC3) & (jr - (jr // 3) * 3 == jv)
+        lim_id = (jv >= 6) & (jv < 6 + nj) & (jr == jv + (_NC3 - 6))
+        Jt_s[...] = jnp.where(base_tr | lim_id, 1.0, 0.0).astype(f32)
+        tgt_s[...] = jnp.zeros((ROWS, ENV_TILE), f32)
+        sign_s[...] = jnp.ones((ROWS, ENV_TILE), f32)
+        st_s[...] = jnp.concatenate(
+            [inp[:IN_TGT], jnp.zeros((OUT_ROWS - IN_TGT, ENV_TILE), f32)],
+            axis=0,
+        )
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ENV_TILE), 0)
+        valid = (rr < (_NC3 + nj)).astype(f32)
+
+        def substep(_, carry):
+            st = st_s[...]
+            pos0 = (st[0], st[1], st[2])
+            quat = (st[3], st[4], st[5], st[6])
+            qj = [st[7 + j] for j in range(nj)]
+            vlin = (st[19], st[20], st[21])
+            omg0 = (st[22], st[23], st[24])
+            dqj = [st[25 + j] for j in range(nj)]
+
+            # ---- PD torques (legged_robot.py:340-356) ----
+            tau = []
+            for j in range(nj):
+                t = float(sm.kp[j]) * (tgt_cmd[j] - qj[j]) - float(sm.kd[j]) * dqj[j]
+                lim = float(sm.tlim[j])
+                tau.append(jnp.clip(t, -lim, lim))
+
+            # ---- FK down the tree (kinematics.py fk) ----
+            w, x, y, z = quat
+            xx, yy, zz = x * x, y * y, z * z
+            xy, xz, yz = x * y, x * z, y * z
+            wx, wy, wz = w * x, w * y, w * z
+            R0 = (
+                (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
+                (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
+                (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
+            )
+            R = [R0]
+            p = [pos0]
+            axis_w = []
+            pivot_w = []
+            for i in range(nj):
+                par = sm.parent[i + 1]
+                Rp, pp = R[par], p[par]
+                Rj = m_mul(Rp, const_m3(sm.joint_rot[i]))
+                pj = v_add(m_vec(Rp, const_v3(sm.joint_pos[i])), pp)
+                a_w = m_vec(Rj, const_v3(sm.joint_axis[i]))
+                s_i = jnp.sin(qj[i])
+                c_i = jnp.cos(qj[i])
+                Rax = tuple(
+                    tuple(
+                        _add(
+                            float(sm.ax_const[i][r][c]),
+                            _mul(float(sm.ax_sin[i][r][c]), s_i),
+                            _mul(float(sm.ax_cos[i][r][c]), c_i),
+                        )
+                        for c in range(3)
+                    )
+                    for r in range(3)
+                )
+                R.append(m_mul(Rj, Rax))
+                p.append(pj)
+                axis_w.append(a_w)
+                pivot_w.append(pj)
+            com_w = [
+                v_add(p[b], m_vec(R[b], const_v3(sm.com[b]))) for b in range(nb)
+            ]
+
+            # ---- velocity / bias-acceleration recursion ----
+            # (dynamics.py bias_forces_explicit — same world-frame recursion)
+            omg = [omg0]
+            alp = [v3()]
+            v_o = [vlin]
+            a_o = [v3()]
+            for i in range(nj):
+                par = sm.parent[i + 1]
+                w_p, al_p = omg[par], alp[par]
+                v_p, a_p = v_o[par], a_o[par]
+                r = v_sub(pivot_w[i], p[par])
+                wxr = v_cross(w_p, r)
+                omg.append(v_add(w_p, v_scale(axis_w[i], dqj[i])))
+                alp.append(v_add(al_p, v_scale(v_cross(w_p, axis_w[i]), dqj[i])))
+                v_o.append(v_add(v_p, wxr))
+                a_o.append(
+                    v_add(a_p, v_cross(al_p, r), v_cross(w_p, wxr))
+                )
+
+            # ---- per-body forces & composite moments ----
+            # world inertia I_w = R I_body Rᵀ; base mass/inertia scaled by ms
+            f_b = []  # force at COM
+            tau_o = []  # moment about world origin
+            m_arr = []  # (possibly traced) mass
+            s_vec = []  # first moment m·c
+            I_o = []  # sym inertia about origin
+            for b in range(nb):
+                IR = m_mul(R[b], const_m3(sm.inertia[b]))
+                I_w = sym_from_m3(m_mul(IR, m_transpose(R[b])))
+                mass = float(sm.mass[b])
+                if b == 0:
+                    mass_b = _mul(mass, ms)
+                    I_w = tuple(_mul(e, ms) for e in I_w)
+                else:
+                    mass_b = mass
+                c = com_w[b]
+                rc = v_sub(c, p[b])
+                a_com = v_add(
+                    a_o[b],
+                    v_cross(alp[b], rc),
+                    v_cross(omg[b], v_cross(omg[b], rc)),
+                )
+                # f = m (a_com − g); τ_com = I_w α + ω × (I_w ω)
+                ag = v_sub(a_com, const_v3(sm.gravity))
+                f = v_scale(ag, mass_b)
+                Iw_w = sym_vec(I_w, omg[b])
+                t_com = v_add(sym_vec(I_w, alp[b]), v_cross(omg[b], Iw_w))
+                f_b.append(f)
+                tau_o.append(v_add(t_com, v_cross(c, f)))
+                # CRBA composite pieces about origin
+                m_arr.append(mass_b)
+                s_vec.append(v_scale(c, mass_b))
+                cc_sym = (
+                    _mul(c[0], c[0]), _mul(c[1], c[1]), _mul(c[2], c[2]),
+                    _mul(c[0], c[1]), _mul(c[0], c[2]), _mul(c[1], c[2]),
+                )
+                c2 = _add(cc_sym[0], cc_sym[1], cc_sym[2])
+                I_o.append(
+                    (
+                        _add(I_w[0], _mul(mass_b, _sub(c2, cc_sym[0]))),
+                        _add(I_w[1], _mul(mass_b, _sub(c2, cc_sym[1]))),
+                        _add(I_w[2], _mul(mass_b, _sub(c2, cc_sym[2]))),
+                        _sub(I_w[3], _mul(mass_b, cc_sym[3])),
+                        _sub(I_w[4], _mul(mass_b, cc_sym[4])),
+                        _sub(I_w[5], _mul(mass_b, cc_sym[5])),
+                    )
+                )
+
+            # reverse accumulation child -> parent (chains: reverse index order)
+            F_sub = list(f_b)
+            T_sub = list(tau_o)
+            M_sub = list(m_arr)
+            S_sub = list(s_vec)
+            Io_sub = list(I_o)
+            for b in range(nb - 1, 0, -1):
+                par = sm.parent[b]
+                F_sub[par] = v_add(F_sub[par], F_sub[b])
+                T_sub[par] = v_add(T_sub[par], T_sub[b])
+                M_sub[par] = _add(M_sub[par], M_sub[b])
+                S_sub[par] = v_add(S_sub[par], S_sub[b])
+                Io_sub[par] = sym_add(Io_sub[par], Io_sub[b])
+
+            # ---- bias vector h (= J^T of accumulated forces) ----
+            h = [None] * NV
+            h[0], h[1], h[2] = F_sub[0]
+            tb = v_sub(T_sub[0], v_cross(pos0, F_sub[0]))
+            h[3], h[4], h[5] = tb
+            for i in range(nj):
+                b = i + 1
+                ti = v_sub(T_sub[b], v_cross(pivot_w[i], F_sub[b]))
+                h[6 + i] = v_dot(axis_w[i], ti)
+
+            # ---- mass matrix via composite screws ----
+            # screw of each DOF column about the world origin
+            screws = []
+            for kk in range(3):  # base translation
+                e = [0.0] * 3
+                e[kk] = 1.0
+                screws.append((v3(), tuple(e)))
+            for kk in range(3):  # base rotation (pivot = base origin)
+                e = [0.0] * 3
+                e[kk] = 1.0
+                screws.append((tuple(e), v_cross(tuple(e), v_scale(pos0, -1.0))))
+            for i in range(nj):
+                screws.append((axis_w[i], v_cross(pivot_w[i], axis_w[i])))
+
+            def momentum(comp_m, comp_s, comp_Io, S):
+                w_s, v_s = S
+                f = v_add(v_scale(v_s, comp_m), v_cross(w_s, comp_s))
+                t = v_add(sym_vec(comp_Io, w_s), v_cross(comp_s, v_s))
+                return f, t
+
+            def pair(S, F):
+                w_s, v_s = S
+                f, t = F
+                return _add(v_dot(w_s, t), v_dot(v_s, f))
+
+            M_entries = {}
+            # base 6x6 block from the whole-robot composite
+            F_base = [
+                momentum(M_sub[0], S_sub[0], Io_sub[0], screws[c])
+                for c in range(6)
+            ]
+            for c1 in range(6):
+                for c2 in range(c1, 6):
+                    M_entries[(c1, c2)] = pair(screws[c1], F_base[c2])
+            # joint columns: momentum through the joint's subtree composite
+            for i in range(nj):
+                b = i + 1
+                Fi = momentum(M_sub[b], S_sub[b], Io_sub[b], screws[6 + i])
+                for c in range(6):  # base couplings
+                    M_entries[(c, 6 + i)] = pair(screws[c], Fi)
+                for j in sm.anc[b]:  # ancestor joints (includes i itself)
+                    M_entries[(6 + j, 6 + i)] = pair(screws[6 + j], Fi)
+
+            # store Mtilde = M + diag(armature) + dt·diag(kd + damping)
+            for (r, c), val in M_entries.items():
+                if r == c:
+                    if r >= 6:
+                        jj = r - 6
+                        val = _add(
+                            val,
+                            float(sm.armature[jj])
+                            + dt * float(sm.kd[jj] + sm.damping[jj]),
+                        )
+                    Mt_s[r, c] = _materialize(val)
+                else:
+                    mv = _materialize(val)
+                    Mt_s[r, c] = mv
+                    Mt_s[c, r] = mv
+
+            # ---- contact candidate rows (contact.py build_contact_setup) ----
+            inv_dt = 1.0 / dt
+            bmg = 0.2 * cstiff  # contact Baumgarte scale (contact-model DR)
+            for kk in range(K):
+                fi = sm.cbody[kk]
+                X = v_add(p[fi], m_vec(R[fi], const_v3(sm.coff[kk])))
+                phi = X[2]  # flat plane: ground height 0
+                b_pen = jnp.minimum(bmg * (-phi) * inv_dt, max_depen_vel)
+                b_gap = -phi * inv_dt
+                lo = jnp.where(phi <= 0.0, b_pen, b_gap)
+                lo = jnp.where(phi > contact_offset, -1e9, lo)
+                tgt_s[3 * kk + 2] = lo
+                # J rows: base rotation columns e_c × (X − p_base)
+                d = v_sub(X, pos0)
+                d0, d1, d2 = (_materialize(d[i]) for i in range(3))
+                Jt_s[3, 3 * kk + 1] = -d2
+                Jt_s[3, 3 * kk + 2] = d1
+                Jt_s[4, 3 * kk + 0] = d2
+                Jt_s[4, 3 * kk + 2] = -d0
+                Jt_s[5, 3 * kk + 0] = -d1
+                Jt_s[5, 3 * kk + 1] = d0
+                # ancestor joint columns: a_j × (X − pivot_j)
+                for j in sm.anc[fi]:
+                    col = v_cross(axis_w[j], v_sub(X, pivot_w[j]))
+                    for ax in range(3):
+                        Jt_s[6 + j, 3 * kk + ax] = _materialize(col[ax])
+
+            # ---- joint-limit rows (contact.py joint_limit_bounds) ----
+            for j in range(nj):
+                mid = 0.5 * float(sm.lower[j] + sm.upper[j])
+                near_lower = qj[j] < mid
+                sgn = jnp.where(near_lower, 1.0, -1.0)
+                viol = jnp.where(
+                    near_lower, float(sm.lower[j]) - qj[j], qj[j] - float(sm.upper[j])
+                )
+                b_pen = jnp.minimum(lim_baumgarte * viol * inv_dt, lim_max_depen)
+                b_gap = viol * inv_dt
+                bb = jnp.where(viol >= 0.0, b_pen, b_gap)
+                bb = jnp.where(viol < -lim_margin, -1e9, bb)
+                sign_s[_NC3 + j] = sgn
+                tgt_s[_NC3 + j] = bb
+
+            # ---- rhs = dt (S tau + tau_fric − h) ----
+            rhs_rows = []
+            for v in range(6):
+                rhs_rows.append(_materialize(_mul(-dt, h[v])))
+            for j in range(nj):
+                tf = (
+                    -float(sm.friction[j]) * jnp.tanh(dqj[j] / 0.05)
+                    - float(sm.damping[j]) * dqj[j]
+                )
+                rhs_rows.append(
+                    _materialize(_mul(dt, _add(tau[j], tf, _neg(h[6 + j]))))
+                )
+            for _pad in range(NVP - NV):
+                rhs_rows.append(jnp.zeros((ENV_TILE,), jnp.float32))
+            rhs_t = jnp.stack(rhs_rows)
+
+            # ---- fused solve on tiles ----
+            qvel_t = jnp.concatenate(
+                [st[19:37], jnp.zeros((NVP - NV, ENV_TILE), jnp.float32)], axis=0
+            )
+            qvel_new, lam = _fused_core(
+                Mt_s[...], Jt_s[...], qvel_t, rhs_t,
+                tgt_s[...], sign_s[...], mu, valid, iterations,
+            )
+
+            # ---- velocity limits + semi-implicit integration (step.py) ----
+            vx, vy, vz = qvel_new[0], qvel_new[1], qvel_new[2]
+            wx_n, wy_n, wz_n = qvel_new[3], qvel_new[4], qvel_new[5]
+            vj = [
+                jnp.clip(
+                    qvel_new[6 + j], -float(sm.vel_limit[j]), float(sm.vel_limit[j])
+                )
+                for j in range(nj)
+            ]
+            # quaternion exponential-map update (spatial.py quat_integrate)
+            ax, ay, az = wx_n * dt, wy_n * dt, wz_n * dt
+            theta = jnp.sqrt(ax * ax + ay * ay + az * az)
+            half = 0.5 * theta
+            kfac = jnp.where(
+                theta > 1e-9, jnp.sin(half) / jnp.maximum(theta, 1e-12), 0.5
+            )
+            dw = jnp.cos(half)
+            dx, dy, dz = ax * kfac, ay * kfac, az * kfac
+            qw, qx, qy, qz = quat
+            nw = dw * qw - dx * qx - dy * qy - dz * qz
+            nx = dw * qx + dx * qw + dy * qz - dz * qy
+            ny = dw * qy - dx * qz + dy * qw + dz * qx
+            nz = dw * qz + dx * qy - dy * qx + dz * qw
+            qn = jax.lax.rsqrt(nw * nw + nx * nx + ny * ny + nz * nz)
+
+            new_rows = [
+                st[0] + dt * vx, st[1] + dt * vy, st[2] + dt * vz,
+                nw * qn, nx * qn, ny * qn, nz * qn,
+            ]
+            new_rows += [qj[j] + dt * vj[j] for j in range(nj)]
+            new_rows += [vx, vy, vz, wx_n, wy_n, wz_n]
+            new_rows += vj
+            st_new = jnp.concatenate(
+                [jnp.stack(new_rows), lam[:60], jnp.stack(tau),
+                 jnp.zeros((OUT_ROWS - OUT_TAU - nj, ENV_TILE), jnp.float32)],
+                axis=0,
+            )
+            st_s[...] = st_new
+            return carry
+
+        jax.lax.fori_loop(0, decimation, substep, 0)
+        out_ref[0] = st_s[...]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm", "dt", "decimation", "iterations", "contact_offset",
+        "max_depen_vel", "interpret",
+    ),
+)
+def _mega_call(
+    packed: jnp.ndarray,  # (N, IN_ROWS-ish real rows)
+    sm,
+    dt: float,
+    decimation: int,
+    iterations: int,
+    contact_offset: float,
+    max_depen_vel: float,
+    interpret: bool,
+):
+    N = packed.shape[0]
+    kernel = _build_mega_kernel(
+        sm, dt, decimation, iterations, contact_offset, max_depen_vel,
+        lim_baumgarte=0.2, lim_max_depen=2.0, lim_margin=0.05,
+    )
+    n_pad = (-N) % ENV_TILE
+    Np = N + n_pad
+    T = Np // ENV_TILE
+    xp = jnp.pad(packed, ((0, n_pad), (0, IN_ROWS - packed.shape[1])))
+    # keep padded envs' quaternions unit so FK math stays finite
+    if n_pad:
+        xp = xp.at[N:, 3].set(1.0)
+    tiles = jnp.moveaxis(xp.reshape(T, ENV_TILE, IN_ROWS), 1, -1)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, ENV_TILE), jnp.float32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, IN_ROWS, ENV_TILE), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, ENV_TILE), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NVP, NVP, ENV_TILE), jnp.float32),  # Mt
+            pltpu.VMEM((NVP, ROWS, ENV_TILE), jnp.float32),  # Jt
+            pltpu.VMEM((ROWS, ENV_TILE), jnp.float32),  # target
+            pltpu.VMEM((ROWS, ENV_TILE), jnp.float32),  # sign
+            pltpu.VMEM((OUT_ROWS, ENV_TILE), jnp.float32),  # state
+        ],
+        interpret=interpret,
+    )(tiles)
+    return jnp.moveaxis(out, -1, 1).reshape(Np, OUT_ROWS)[:N]
+
+
+def make_mega_step_batched(
+    model: RobotModel,
+    dt: float,
+    decimation: int,
+    kp,
+    kd,
+    torque_limit,
+    iterations: int,
+    contact_offset: float = 0.01,
+    max_depen_vel: float = 1.0,
+    interpret: bool = False,
+    mesh=None,
+):
+    """Whole-policy-step physics with a custom vmap rule.
+
+    Single-env call falls back to the XLA path (identical math, used by
+    oracle tests and CPU play); under jax.vmap the batch dispatches ONE
+    mega-kernel launch for all `decimation` substeps. With `mesh`, the
+    batched call runs under shard_map over the env axis (bare pallas_call
+    has no GSPMD rule).
+
+    Signature: (qpos, qvel, friction, base_mass_scale, contact_stiffness,
+    targets) -> (qpos_new, qvel_new, lam (60,), tau (nj,)).
+    """
+    from jax.custom_batching import custom_vmap
+
+    sm = _StaticModel(model, kp, kd, torque_limit)
+    kp_j = jnp.asarray(kp)
+    kd_j = jnp.asarray(kd)
+    tlim_j = jnp.asarray(torque_limit)
+    nj = model.nj
+
+    @custom_vmap
+    def step(qpos, qvel, fric, bms, cstiff, targets):
+        # single-env XLA fallback (same math as the kernel)
+        from ..terrain.terrain import flat_height_fn
+        from .contact import (
+            apgd_solve, build_contact_setup, joint_limit_bounds,
+        )
+        from .dynamics import compute_dynamics
+        from .kinematics import f32_matmul
+        from .linalg import solve_lower_unrolled, solve_upper_unrolled
+        from .step import pd_torques
+
+        implicit_d = kd_j + model.dof_damping
+        mass_scale = jnp.ones(model.nbody).at[0].set(bms)
+
+        @f32_matmul
+        def substep(carry, _):
+            qpos_c, qvel_c = carry
+            tau = pd_torques(model, qpos_c, qvel_c, targets, kp_j, kd_j, tlim_j)
+            dyn = compute_dynamics(model, qpos_c, qvel_c, dt, implicit_d, mass_scale)
+            tau_fric = (
+                -model.dof_friction * jnp.tanh(qvel_c[6:] / 0.05)
+                - model.dof_damping * qvel_c[6:]
+            )
+            gen_force = jnp.concatenate(
+                [jnp.zeros(6, tau.dtype), tau + tau_fric]
+            )
+            setup = build_contact_setup(
+                model, dyn, flat_height_fn, dt,
+                contact_offset=contact_offset, max_depen_vel=max_depen_vel,
+                baumgarte=0.2 * cstiff,
+            )
+            sign, lb = joint_limit_bounds(model, qpos_c, dt)
+            L = dyn.Mtilde_chol
+            rhs = dt * (gen_force - dyn.h)
+            v_free = qvel_c + solve_upper_unrolled(
+                L.T, solve_lower_unrolled(L, rhs)
+            )
+            B = solve_lower_unrolled(L, setup.J.T)
+            A = B.T @ B
+            u0 = setup.J @ v_free
+            lam = apgd_solve(
+                A, u0, N_POINTS, setup.lo_bound, sign, lb, fric, iterations
+            )
+            qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
+            vj = jnp.clip(qvel_new[6:], -model.dof_vel_limit, model.dof_vel_limit)
+            qvel_new = qvel_new.at[6:].set(vj)
+            from . import spatial as S
+
+            pos_new = qpos_c[0:3] + dt * qvel_new[0:3]
+            quat_new = S.quat_integrate(qpos_c[3:7], qvel_new[3:6], dt)
+            qj_new = qpos_c[7:] + dt * qvel_new[6:]
+            qpos_new = jnp.concatenate([pos_new, quat_new, qj_new])
+            return (qpos_new, qvel_new), (lam, tau)
+
+        (qpos_n, qvel_n), (lams, taus) = jax.lax.scan(
+            substep, (qpos, qvel), None, length=decimation
+        )
+        return qpos_n, qvel_n, lams[-1], taus[-1]
+
+    def batched(qpos, qvel, fric, bms, cstiff, targets):
+        packed = jnp.concatenate(
+            [qpos, qvel, targets, fric[:, None], bms[:, None], cstiff[:, None]],
+            axis=1,
+        ).astype(jnp.float32)
+        out = _mega_call(
+            packed, sm, float(dt), int(decimation), int(iterations),
+            float(contact_offset), float(max_depen_vel), bool(interpret),
+        )
+        return (
+            out[:, OUT_QPOS:OUT_QPOS + NQ],
+            out[:, OUT_QVEL:OUT_QVEL + NV],
+            out[:, OUT_LAM:OUT_LAM + _NC3 + nj],
+            out[:, OUT_TAU:OUT_TAU + nj],
+        )
+
+    @step.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [
+            x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+            for x, b in zip(args, in_batched)
+        ]
+        # ambient solver mesh read at TRACE time (the runner sets it before
+        # jitting the train step) — bare pallas_call has no GSPMD rule, so
+        # sharded batches must run under shard_map over the env axis.
+        from .pallas_solver import get_solver_mesh
+
+        ambient = mesh if mesh is not None else get_solver_mesh()
+        fn = batched
+        if ambient is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(ambient.axis_names[0])
+            fn = shard_map(
+                batched,
+                mesh=ambient,
+                in_specs=(spec,) * 6,
+                out_specs=(spec,) * 4,
+                check_rep=False,
+            )
+        out = fn(*args)
+        return out, (True, True, True, True)
+
+    return step

@@ -234,19 +234,25 @@ NV = 18  # generalized velocities
 NVP = 24  # padded to sublane multiple
 
 
-def _fused_kernel(
-    Mt_ref, Jt_ref, qvel_ref, rhs_ref, target_ref, sign_ref, mu_ref,
-    nlim_ref, iters_ref, qvel_out_ref, lam_out_ref,
-):
-    f32 = Mt_ref.dtype
-    A0 = Mt_ref[0]  # (NVP, NVP, 128) Mtilde (padded rows/cols carry identity)
-    Jt = Jt_ref[0]  # (NVP, ROWS, 128) J^T (cols padded)
-    qvel = qvel_ref[0]  # (NVP, 128)
-    rhs = rhs_ref[0]  # (NVP, 128) dt*(tau - h)
-    target = target_ref[0]  # (ROWS, 128)
-    sign = sign_ref[0]  # (ROWS, 128) +-1 on limit rows, 1 elsewhere
-    mu = mu_ref[0]  # (1, 128)
+def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations):
+    """The on-chip dynamics+contact solve shared by the fused and mega
+    kernels: cholesky(Mtilde) -> v_free -> B = L^-1 J^T -> A = B^T B ->
+    APGD -> qvel_new. All operands are env-lane-major VMEM values:
 
+      A0     (NVP, NVP, 128) Mtilde (padded rows/cols carry identity diag)
+      Jt     (NVP, ROWS, 128) J^T (cols padded; NOT sign-folded)
+      qvel   (NVP, 128)
+      rhs    (NVP, 128) dt*(tau - h)
+      target (ROWS, 128) desired constraint velocities
+      sign   (ROWS, 128) +-1 on limit rows, 1 elsewhere
+      mu     (1, 128)
+      valid  (ROWS, 128) 1.0 on live constraint rows
+      iterations: int or traced scalar (fori_loop bound)
+
+    Returns (qvel_new (NVP, 128), lam (ROWS, 128) unfolded to physical
+    impulse signs).
+    """
+    f32 = A0.dtype
     vrow = jax.lax.broadcasted_iota(jnp.int32, (NVP, ENV_TILE), 0)
     # static one-hot row masks (Mosaic has no scatter lowering — all row
     # writes are expressed as mask arithmetic)
@@ -316,9 +322,6 @@ def _fused_kernel(
     step = 1.0 / L_apgd  # (128,)
 
     nc3 = 3 * N_POINTS
-    rrow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ENV_TILE), 0)
-    nlim = nlim_ref[0]
-    valid = (rrow < (nc3 + nlim)).astype(f32)
 
     def project(x):
         blocks = x[:nc3].reshape(N_POINTS, 3, ENV_TILE)
@@ -351,13 +354,27 @@ def _fused_kernel(
 
     zero = jnp.zeros((ROWS, ENV_TILE), f32)
     ones = jnp.ones((1, ENV_TILE), f32)
-    lam, _, _ = jax.lax.fori_loop(0, iters_ref[0], body, (zero, zero, ones))
+    lam, _, _ = jax.lax.fori_loop(0, iterations, body, (zero, zero, ones))
 
     # ---- qvel_new = v_free + L^-T (B lam) ----
     y1 = jnp.sum(B * lam[None, :, :], axis=1)  # (NVP, 128)
     dv = solve_upper(y1)
-    qvel_out_ref[0] = v_free + dv
-    lam_out_ref[0] = lam * sign  # unfold to physical impulses
+    return v_free + dv, lam * sign  # lam unfolded to physical impulses
+
+
+def _fused_kernel(
+    Mt_ref, Jt_ref, qvel_ref, rhs_ref, target_ref, sign_ref, mu_ref,
+    nlim_ref, iters_ref, qvel_out_ref, lam_out_ref,
+):
+    f32 = Mt_ref.dtype
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ENV_TILE), 0)
+    valid = (rrow < (3 * N_POINTS + nlim_ref[0])).astype(f32)
+    qvel_new, lam = _fused_core(
+        Mt_ref[0], Jt_ref[0], qvel_ref[0], rhs_ref[0], target_ref[0],
+        sign_ref[0], mu_ref[0], valid, iters_ref[0],
+    )
+    qvel_out_ref[0] = qvel_new
+    lam_out_ref[0] = lam
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "interpret"))

@@ -189,7 +189,40 @@ def make_physics_step(
     """Returns step(state, joint_targets) -> state running `decimation`
     substeps at sim_dt with the targets held (100 Hz policy / 1 kHz physics,
     reference humanoid_config.py:128-131). `unroll` trades compile time for
-    less while-loop overhead on TPU."""
+    less while-loop overhead on TPU.
+
+    solver="mega" dispatches the whole decimation loop to ONE Pallas
+    launch (mega_kernel.py) — flat-plane terrain only."""
+
+    if solver.startswith("mega"):
+        from ..terrain.terrain import flat_height_fn
+        from .mega_kernel import make_mega_step_batched
+
+        assert terrain_height_fn is flat_height_fn, (
+            "mega solver supports flat-plane terrain only; use fused_pallas "
+            "for heightfield tasks"
+        )
+        nb = model.nbody
+        K = model.ncon
+        body_idx = jnp.asarray(model.contact_point_body)
+        mega = make_mega_step_batched(
+            model, sim_dt, decimation, kp, kd, torque_limit,
+            iterations=solver_iterations,
+            interpret=solver.endswith("interpret"),
+        )
+
+        def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
+            qpos_new, qvel_new, lam, tau = mega(
+                state.qpos, state.qvel, state.friction,
+                state.base_mass_scale, state.contact_stiffness, targets,
+            )
+            forces = lam[: 3 * K].reshape(K, 3) / sim_dt
+            cf = jnp.zeros((nb, 3), forces.dtype).at[body_idx].add(forces)
+            return state.replace(
+                qpos=qpos_new, qvel=qvel_new, contact_forces=cf, torques=tau
+            )
+
+        return step
 
     substep = make_substep(
         model,

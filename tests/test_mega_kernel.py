@@ -1,0 +1,127 @@
+"""Mega-kernel equivalence: the single-launch full-physics Pallas kernel
+(FK + bias + CRBA + contact rows + fused solve + integration, all
+decimation substeps on-chip) must reproduce the standard XLA `apgd` path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+KP = jnp.asarray(
+    [200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15], jnp.float32
+)
+KD = jnp.full(12, 10.0)
+
+
+def _states(m, n, seed=0):
+    from humanoid_gym_tpu.physics.step import default_state
+
+    rng = np.random.default_rng(seed)
+    st = default_state(m, jnp.asarray([0.0, 0.0, 0.9]), jnp.asarray([1.0, 0, 0, 0]))
+    stb = jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), st)
+    qj = rng.uniform(-0.1, 0.1, (n, 12))
+    qpos = np.array(stb.qpos)
+    qpos[:, 7:] = qj
+    qpos[:, 2] += rng.uniform(-0.02, 0.02, n)
+    qvel = rng.normal(size=(n, 18)) * 0.2
+    return stb.replace(
+        qpos=jnp.asarray(qpos, jnp.float32),
+        qvel=jnp.asarray(qvel, jnp.float32),
+        friction=jnp.asarray(rng.uniform(0.3, 1.2, n), jnp.float32),
+        base_mass_scale=jnp.asarray(rng.uniform(0.9, 1.1, n), jnp.float32),
+        contact_stiffness=jnp.asarray(rng.uniform(0.7, 1.5, n), jnp.float32),
+    )
+
+
+def _run(m, solver, stb, targets, n_steps=5, decimation=10):
+    from humanoid_gym_tpu.physics.step import make_physics_step
+    from humanoid_gym_tpu.terrain.terrain import flat_height_fn
+
+    tl = m.dof_effort * 0.85
+    step = make_physics_step(
+        m, 0.001, decimation, KP, KD, tl, flat_height_fn,
+        solver_iterations=24, solver=solver,
+    )
+    vstep = jax.jit(jax.vmap(step))
+    for _ in range(n_steps):
+        stb = vstep(stb, targets)
+    return stb
+
+
+def test_mega_interpret_matches_apgd(xbot_model):
+    """Batched mega kernel (interpret) vs XLA apgd over 5 policy steps
+    (50 substeps) with per-env DR (friction, base mass, contact stiffness)."""
+    m = xbot_model
+    n = 4
+    stb = _states(m, n)
+    rng = np.random.default_rng(1)
+    targets = jnp.asarray(rng.uniform(-0.2, 0.2, (n, 12)), jnp.float32)
+
+    ref = _run(m, "apgd", stb, targets)
+    meg = _run(m, "mega_interpret", stb, targets)
+
+    np.testing.assert_allclose(np.asarray(meg.qpos), np.asarray(ref.qpos), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(meg.qvel), np.asarray(ref.qvel), atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(meg.torques), np.asarray(ref.torques), atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(meg.contact_forces), np.asarray(ref.contact_forces), atol=5.0
+    )
+
+
+def test_mega_fallback_single_env(xbot_model):
+    """The unbatched call (oracle/play path) falls back to XLA and must also
+    match the apgd step."""
+    from humanoid_gym_tpu.physics.step import default_state, make_physics_step
+    from humanoid_gym_tpu.terrain.terrain import flat_height_fn
+
+    m = xbot_model
+    tl = m.dof_effort * 0.85
+    st = default_state(m, jnp.asarray([0.0, 0.0, 0.9]), jnp.asarray([1.0, 0, 0, 0]))
+    tgt = jnp.asarray(np.random.default_rng(2).uniform(-0.1, 0.1, 12), jnp.float32)
+
+    def run(solver):
+        step = jax.jit(
+            make_physics_step(
+                m, 0.001, 10, KP, KD, tl, flat_height_fn,
+                solver_iterations=24, solver=solver,
+            )
+        )
+        s = st
+        for _ in range(5):
+            s = step(s, tgt)
+        return s
+
+    ref = run("apgd")
+    meg = run("mega_interpret")  # single env -> XLA fallback
+    np.testing.assert_allclose(np.asarray(meg.qpos), np.asarray(ref.qpos), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(meg.qvel), np.asarray(ref.qvel), atol=5e-3)
+
+
+def test_mega_shard_map(xbot_model):
+    """Mega kernel through shard_map over the 8-device mesh (the multi-chip
+    dispatch path) matches the unsharded batched result."""
+    from humanoid_gym_tpu.parallel.mesh import make_env_mesh, shard_env_axis
+    from humanoid_gym_tpu.physics import pallas_solver as PS
+
+    m = xbot_model
+    n = 8
+    stb = _states(m, n, seed=3)
+    targets = jnp.zeros((n, 12), jnp.float32)
+
+    out_ref = _run(m, "mega_interpret", stb, targets, n_steps=2)
+
+    mesh = make_env_mesh()
+    assert mesh.size == 8
+    PS.set_solver_mesh(mesh)
+    try:
+        out_sm = _run(m, "mega_interpret", shard_env_axis(stb, mesh), targets, n_steps=2)
+    finally:
+        PS.set_solver_mesh(None)
+    np.testing.assert_allclose(
+        np.asarray(out_sm.qvel), np.asarray(out_ref.qvel), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sm.qpos), np.asarray(out_ref.qpos), atol=1e-6
+    )
