@@ -112,10 +112,17 @@ def _load_mj_model(path: str):
         return mujoco.MjModel.from_xml_string(xml)
 
 
-def run_mujoco(policy, cfg: Sim2SimCfg, record_states: bool = False):
+def run_mujoco(
+    policy,
+    cfg: Sim2SimCfg,
+    record_states: bool = False,
+    video_path: Optional[str] = None,
+):
     """60 s closed-loop rollout (reference sim2sim.py:87-164).
 
     Returns summary dict: distance walked, mean height, falls, mean |vx|.
+    With `video_path`, also writes a software-rendered mp4 of the gait
+    (capability analog of reference play.py:127-134 camera video).
     """
     import mujoco
 
@@ -123,6 +130,12 @@ def run_mujoco(policy, cfg: Sim2SimCfg, record_states: bool = False):
     model.opt.timestep = cfg.sim_dt
     data = mujoco.MjData(model)
     mujoco.mj_step(model, data)
+
+    renderer = None
+    if video_path is not None:
+        from .video import GaitVideoRenderer
+
+        renderer = GaitVideoRenderer(model)
 
     target_q = np.zeros(cfg.num_actions)
     action = np.zeros(cfg.num_actions)
@@ -172,6 +185,14 @@ def run_mujoco(policy, cfg: Sim2SimCfg, record_states: bool = False):
         mujoco.mj_step(model, data)
         count_lowlevel += 1
 
+        if renderer is not None and step % (1000 // renderer.fps) == 0:
+            t = step * cfg.sim_dt
+            renderer.add_frame(
+                data,
+                hud=f"t={t:5.2f}s  vx={data.qvel[0]:+.2f} m/s  "
+                f"z={data.xpos[1][2]:.2f} m  cmd vx={cfg.cmd_vx:.2f}",
+            )
+
         if step % 100 == 0:
             # absolute base height from body kinematics (the MJCF free base is
             # slide+ball joints, so qpos[2] is a *displacement*, not height)
@@ -193,4 +214,6 @@ def run_mujoco(policy, cfg: Sim2SimCfg, record_states: bool = False):
     }
     if record_states:
         out["states"] = np.stack(states)
+    if renderer is not None:
+        out["video"] = renderer.save(video_path)
     return out

@@ -133,8 +133,27 @@ class OnPolicyRunner:
                 self.writer = SummaryWriter(log_dir=log_dir, flush_secs=10)
             except Exception:
                 self.writer = None
+            # wandb experiment logging, mirroring the reference
+            # (on_policy_runner.py:96-102: wandb.init(project="XBot",
+            # sync_tensorboard=True)). Optional import: zero-egress and
+            # wandb-less deployments run identically without it; set
+            # HGT_WANDB=0 to disable explicitly.
+            self.wandb_run = None
+            if os.environ.get("HGT_WANDB", "1") != "0":
+                try:
+                    import wandb
+
+                    self.wandb_run = wandb.init(
+                        project=os.environ.get("HGT_WANDB_PROJECT", "XBot"),
+                        sync_tensorboard=True,
+                        dir=log_dir,
+                        name=os.path.basename(log_dir),
+                    )
+                except Exception:
+                    self.wandb_run = None
         else:
             self._metrics_file = None
+            self.wandb_run = None
 
     # ------------------------------------------------------------------ #
 
@@ -231,6 +250,12 @@ class OnPolicyRunner:
             except Exception:
                 pass
             self._metrics_file = None
+        if getattr(self, "wandb_run", None) is not None:
+            try:
+                self.wandb_run.finish()
+            except Exception:
+                pass
+            self.wandb_run = None
 
     # ------------------------------------------------------------------ #
 

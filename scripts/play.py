@@ -105,6 +105,28 @@ def play(args):
     except Exception as e:
         print(f"plotting skipped: {e}")
 
+    # gait video of the exported policy (reference play.py:127-134 records
+    # an mp4 via a camera sensor; here a headless software render of the
+    # MuJoCo deployment rollout — also the best human check of transfer)
+    if os.environ.get("HGT_PLAY_VIDEO", "1") != "0":
+        try:
+            from humanoid_gym_tpu.export.sim2sim import Sim2SimCfg, run_mujoco
+
+            mp4 = os.path.join(root, "exported", "gait.mp4")
+            from scripts.sim2sim import XBOT_MJCF  # canonical MJCF path
+
+            from humanoid_gym_tpu.export.policy_export import load_policy
+
+            npz = next(p for p in written if p.endswith(".npz"))
+            res = run_mujoco(
+                load_policy(npz),
+                Sim2SimCfg(mujoco_model_path=XBOT_MJCF, sim_duration=10.0),
+                video_path=mp4,
+            )
+            print(f"Gait video: {mp4} (walked {res['distance_x']:.2f} m)")
+        except Exception as e:
+            print(f"video skipped: {e}")
+
 
 if __name__ == "__main__":
     from humanoid_gym_tpu.utils.helpers import get_args

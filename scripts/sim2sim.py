@@ -25,6 +25,11 @@ def main():
     p.add_argument("--load_model", type=str, required=True)
     p.add_argument("--terrain", action="store_true")
     p.add_argument("--duration", type=float, default=60.0)
+    p.add_argument(
+        "--video", type=str, default=None,
+        help="write a software-rendered mp4 of the rollout (reference "
+        "play.py:127-134 capability; headless, no GL required)",
+    )
     args = p.parse_args()
 
     from humanoid_gym_tpu.export.policy_export import load_policy
@@ -35,7 +40,7 @@ def main():
         sim_duration=args.duration,
     )
     policy = load_policy(args.load_model)
-    result = run_mujoco(policy, cfg)
+    result = run_mujoco(policy, cfg, video_path=args.video)
     print(result)
 
 
