@@ -66,7 +66,8 @@ def main():
         algo_cfg.learning_rate,
     )
     keys = jax.random.split(k_env, num_envs)
-    state = env.init_state(keys, jnp.arange(num_envs))
+    # jit is load-bearing: eager vmap dispatch at 4096 envs takes ~25 min
+    state = jax.jit(env.init_state)(keys, jnp.arange(num_envs))
     obs = jnp.zeros((num_envs, cfg.env.num_observations))
     priv = jnp.zeros((num_envs, cfg.env.num_privileged_obs))
 

@@ -82,6 +82,21 @@ def _register_builtin():
 
     register("humanoid_ppo_terrain", terrain, terrain_ppo)
 
+    def robust():  # full recipe + contact-model DR (transfer mitigation):
+        # round-1 finding — late checkpoints overfit engine-specific contact
+        # detail and lose zero-shot MuJoCo transfer; per-env log-uniform
+        # Baumgarte-scale randomization keeps them honest.
+        cfg = XBotLCfg()
+        cfg.domain_rand.randomize_contact_stiffness = True
+        return cfg
+
+    def robust_ppo():
+        cfg = XBotLCfgPPO()
+        cfg.runner.experiment_name = "XBot_ppo_robust"
+        return cfg
+
+    register("humanoid_ppo_robust", robust, robust_ppo)
+
     from .config.xbots import XBotSCfg, XBotSCfgPPO
 
     register("humanoid_s_ppo", XBotSCfg, XBotSCfgPPO)
