@@ -132,3 +132,24 @@ def test_shipped_demo_policy_walks():
     out = run_mujoco(load_policy(demo), cfg)
     assert out["fallen_at_s"] is None, out
     assert out["distance_x"] > 0.5, out
+
+
+def test_sim2sim_terrain_hfield():
+    """Terrain variant (reference sim2sim.py:170-183): XBot-L-terrain.xml
+    (uneven.png hfield) loads through the MuJoCo 2.3->3.x compat shim and the
+    reference pretrained policy survives and makes progress on it — proves
+    the hfield asset path end-to-end, plus a gait video from the rollout."""
+    import os
+
+    from humanoid_gym_tpu.export.policy_export import load_policy
+    from humanoid_gym_tpu.export.sim2sim import Sim2SimCfg, run_mujoco
+
+    terrain_mjcf = os.path.join(os.path.dirname(XBOT_MJCF), "XBot-L-terrain.xml")
+    policy = load_policy(REF_POLICY)
+    cfg = Sim2SimCfg(mujoco_model_path=terrain_mjcf, sim_duration=6.0)
+    out = run_mujoco(policy, cfg, video_path="/tmp/hgt_terrain_gait.mp4")
+    assert out["fallen_at_s"] is None, f"robot fell on hfield: {out}"
+    # hfield raises the effective ground; absolute base height stays ~0.9
+    assert out["mean_height"] > 0.7, out
+    assert out["distance_x"] > 0.4, f"no forward walk on hfield: {out}"
+    assert os.path.getsize(out["video"]) > 10000  # video actually rendered
