@@ -274,9 +274,11 @@ def make_train_iter(
                 target = jax.lax.stop_gradient(priv[:, lo:hi])
                 est_loss = jnp.mean(jnp.square(est - target))
                 total = total + cfg.estimator_coef * est_loss
-            return total, (surrogate_loss, value_loss, jnp.mean(entropy))
+            else:
+                est_loss = jnp.asarray(0.0)
+            return total, (surrogate_loss, value_loss, jnp.mean(entropy), est_loss)
 
-        grads, (surr_l, val_l, ent) = jax.grad(loss_fn, has_aux=True)(ts.params)
+        grads, (surr_l, val_l, ent, est_l) = jax.grad(loss_fn, has_aux=True)(ts.params)
         # global grad-norm clip (ppo.py:173); a non-finite norm zeroes the
         # update (drop the poisoned minibatch instead of NaN-ing the params)
         gnorm = optax.global_norm(grads)
@@ -296,6 +298,7 @@ def make_train_iter(
             "entropy": ent,
             "kl": kl_mean,
             "grad_norm": gnorm,
+            "estimator_loss": est_l,
         }
 
     def train_iter(ts: TrainState, env_state, obs, priv_obs, key):

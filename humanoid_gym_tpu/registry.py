@@ -111,6 +111,11 @@ def _register_builtin():
     def joint_ppo():
         cfg = XBotLCfgPPO()
         cfg.runner.experiment_name = "XBot_joint_ppo"
+        # DWL-style estimator head supervised on the newest privileged
+        # frame's base linear velocity (slice 199:202 of the 219 critic
+        # input) — trained for real in the joint run (BASELINE config[4])
+        cfg.policy.estimator_dim = 3
+        cfg.algorithm.estimator_coef = 1.0
         return cfg
 
     register("humanoid_joint_ppo", XBotLCfg, joint_ppo, make_env_custom=joint_env)

@@ -268,6 +268,7 @@ class OnPolicyRunner:
             "Loss/entropy": float(metrics["entropy"]),
             "Loss/learning_rate": float(metrics["lr"]),
             "Loss/kl": float(metrics["kl"]),
+            "Loss/estimator": float(metrics.get("estimator_loss", 0.0)),
             "Policy/mean_noise_std": float(metrics["action_std_mean"]),
             "Perf/total_fps": fps,
             "Perf/iter_time": dt_iter,
