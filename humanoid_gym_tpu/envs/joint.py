@@ -85,10 +85,16 @@ class JointEnv:
         return state, tr.obs, tr.privileged_obs
 
 
-def make_joint_xbot_env(num_envs_l: int, num_envs_s: int, **cfg_overrides):
-    """XBot-L + XBot-S jointly (BASELINE config[4])."""
+def make_joint_xbot_env(num_envs_l: int, num_envs_s: int, cfg_overrides=None):
+    """XBot-L + XBot-S jointly (BASELINE config[4]). cfg_overrides (a callable
+    mutating each sub-env cfg) propagates solver selection etc. to BOTH
+    robots' env builds."""
     from .. import registry
 
-    env_l, _ = registry.make_env("humanoid_ppo", num_envs=num_envs_l)
-    env_s, _ = registry.make_env("humanoid_s_ppo", num_envs=num_envs_s)
+    env_l, _ = registry.make_env(
+        "humanoid_ppo", num_envs=num_envs_l, cfg_overrides=cfg_overrides
+    )
+    env_s, _ = registry.make_env(
+        "humanoid_s_ppo", num_envs=num_envs_s, cfg_overrides=cfg_overrides
+    )
     return JointEnv([env_l, env_s], [num_envs_l, num_envs_s])

@@ -45,7 +45,7 @@ def make_env(name: str, num_envs: Optional[int] = None, cfg_overrides=None):
     if num_envs is not None:
         cfg.env.num_envs = num_envs
     if spec.make_env_custom is not None:
-        return spec.make_env_custom(cfg.env.num_envs), cfg
+        return spec.make_env_custom(cfg.env.num_envs, cfg_overrides), cfg
     return _make(cfg), cfg
 
 
@@ -102,11 +102,11 @@ def _register_builtin():
     register("humanoid_s_ppo", XBotSCfg, XBotSCfgPPO)
 
     # joint XBot-L + XBot-S batch under one policy (BASELINE config[4])
-    def joint_env(num_envs):
+    def joint_env(num_envs, cfg_overrides=None):
         from .envs.joint import make_joint_xbot_env
 
         half = num_envs // 2
-        return make_joint_xbot_env(num_envs - half, half)
+        return make_joint_xbot_env(num_envs - half, half, cfg_overrides)
 
     def joint_ppo():
         cfg = XBotLCfgPPO()
