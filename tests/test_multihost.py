@@ -38,6 +38,8 @@ assert jax.process_count() == nproc
 assert len(jax.devices()) == 8  # global device count
 
 cfg = XBotLCfg(); cfg.env.num_envs = 16
+# production solver through its shard_map dispatch on the distributed mesh
+cfg.sim.solver.solver_type = "fused_pallas_interpret"
 env = make_env(cfg)
 net = ActorCritic(num_actions=12)
 ac = PPOConfig(); ac.num_steps_per_env = 2; ac.num_mini_batches = 2; ac.num_learning_epochs = 1
@@ -46,6 +48,8 @@ key = jax.random.PRNGKey(0)  # same base key on every process
 k_init, k_env, k_it = jax.random.split(key, 3)
 ts = init_train_state(k_init, net, 705, 219, ac.learning_rate)
 mesh = make_env_mesh()
+from humanoid_gym_tpu.physics.pallas_solver import set_solver_mesh
+set_solver_mesh(mesh)
 state = host_sharded_env_state(env, k_env, mesh)
 import numpy as np
 obs = assemble_global(np.zeros((8, 705), np.float32), mesh)
