@@ -145,6 +145,13 @@ class DomainRandCfg:
     # robustness; reference has no analog — PhysX params are global)
     randomize_contact_stiffness: bool = False
     contact_stiffness_range: List[float] = _f(lambda: [0.5, 2.0])
+    # per-env contact-offset (activation distance) jitter, log-uniform [m]
+    randomize_contact_offset: bool = False
+    contact_offset_range: List[float] = _f(lambda: [0.005, 0.02])
+    # per-env actuator-strength scale on kp/kd (sim2real staple; attacks
+    # policies that overfit the exact contact/actuation loop timing)
+    randomize_motor_strength: bool = False
+    motor_strength_range: List[float] = _f(lambda: [0.8, 1.2])
 
 
 @dataclass

@@ -307,7 +307,10 @@ class HumanoidEnv:
         (reference legged_robot.py:257-269,296-302), commands sampled."""
         m = self.model
         cfg = self.cfg
-        (k_fric, k_bucket, k_mass, k_cmd, k_phys, k_lvl, k_cstiff, k_state) = jax.random.split(key, 8)
+        (
+            k_fric, k_bucket, k_mass, k_cmd, k_phys, k_lvl, k_cstiff,
+            k_coff, k_motor, k_state,
+        ) = jax.random.split(key, 10)
 
         if cfg.domain_rand.randomize_friction:
             lo, hi = cfg.domain_rand.friction_range
@@ -357,6 +360,24 @@ class HumanoidEnv:
         else:
             contact_stiffness = jnp.asarray(1.0)
 
+        if cfg.domain_rand.randomize_contact_offset:
+            lo, hi = cfg.domain_rand.contact_offset_range
+            u = jax.random.uniform(k_coff, ())
+            contact_offset = jnp.exp(
+                jnp.log(lo) + u * (jnp.log(hi) - jnp.log(lo))
+            )
+        else:
+            contact_offset = jnp.asarray(0.01)
+
+        if cfg.domain_rand.randomize_motor_strength:
+            lo, hi = cfg.domain_rand.motor_strength_range
+            kp_scale, kd_scale = jax.random.uniform(
+                k_motor, (2,), minval=lo, maxval=hi
+            )
+        else:
+            kp_scale = jnp.asarray(1.0)
+            kd_scale = jnp.asarray(1.0)
+
         qpos, qvel = self._reset_phys(k_phys, origin)
         phys = PhysicsState(
             qpos=qpos,
@@ -364,6 +385,9 @@ class HumanoidEnv:
             friction=friction,
             base_mass_scale=mass_scale,
             contact_stiffness=contact_stiffness,
+            contact_offset=contact_offset,
+            kp_scale=kp_scale,
+            kd_scale=kd_scale,
             contact_forces=jnp.zeros((m.nbody, 3)),
             torques=jnp.zeros(m.nj),
         )

@@ -51,6 +51,9 @@ IN_TGT = 37
 IN_FRIC = 49
 IN_MS = 50
 IN_CSTIFF = 51
+IN_COFF = 52
+IN_KPS = 53
+IN_KDS = 54
 IN_ROWS = 56  # padded to sublane multiple
 
 OUT_QPOS = 0
@@ -281,6 +284,9 @@ def _build_mega_kernel(
         mu = inp[IN_FRIC][None, :]  # (1, 128)
         ms = inp[IN_MS]  # base-mass scale
         cstiff = inp[IN_CSTIFF]
+        coffset = inp[IN_COFF]  # contact activation distance
+        kp_s = inp[IN_KPS]  # motor-strength scales
+        kd_s = inp[IN_KDS]
         tgt_cmd = [inp[IN_TGT + j] for j in range(nj)]
 
         # scratch init (static patterns built from iotas — Mosaic-safe)
@@ -314,10 +320,13 @@ def _build_mega_kernel(
             omg0 = (st[22], st[23], st[24])
             dqj = [st[25 + j] for j in range(nj)]
 
-            # ---- PD torques (legged_robot.py:340-356) ----
+            # ---- PD torques (legged_robot.py:340-356), motor-strength DR ----
             tau = []
             for j in range(nj):
-                t = float(sm.kp[j]) * (tgt_cmd[j] - qj[j]) - float(sm.kd[j]) * dqj[j]
+                t = (
+                    kp_s * float(sm.kp[j]) * (tgt_cmd[j] - qj[j])
+                    - kd_s * float(sm.kd[j]) * dqj[j]
+                )
                 lim = float(sm.tlim[j])
                 tau.append(jnp.clip(t, -lim, lim))
 
@@ -502,10 +511,11 @@ def _build_mega_kernel(
                 if r == c:
                     if r >= 6:
                         jj = r - 6
+                        # implicit damping uses the DR-scaled kd
                         val = _add(
                             val,
-                            float(sm.armature[jj])
-                            + dt * float(sm.kd[jj] + sm.damping[jj]),
+                            _mul(dt * float(sm.kd[jj]), kd_s),
+                            float(sm.armature[jj]) + dt * float(sm.damping[jj]),
                         )
                     Mt_s[r, c] = _materialize(val)
                 else:
@@ -523,7 +533,7 @@ def _build_mega_kernel(
                 b_pen = jnp.minimum(bmg * (-phi) * inv_dt, max_depen_vel)
                 b_gap = -phi * inv_dt
                 lo = jnp.where(phi <= 0.0, b_pen, b_gap)
-                lo = jnp.where(phi > contact_offset, -1e9, lo)
+                lo = jnp.where(phi > coffset, -1e9, lo)
                 tgt_s[3 * kk + 2] = lo
                 # J rows: base rotation columns e_c × (X − p_base)
                 d = v_sub(X, pos0)
@@ -705,7 +715,8 @@ def make_mega_step_batched(
     has no GSPMD rule).
 
     Signature: (qpos, qvel, friction, base_mass_scale, contact_stiffness,
-    targets) -> (qpos_new, qvel_new, lam (60,), tau (nj,)).
+    contact_offset, kp_scale, kd_scale, targets) ->
+    (qpos_new, qvel_new, lam (60,), tau (nj,)).
     """
     from jax.custom_batching import custom_vmap
 
@@ -716,7 +727,7 @@ def make_mega_step_batched(
     nj = model.nj
 
     @custom_vmap
-    def step(qpos, qvel, fric, bms, cstiff, targets):
+    def step(qpos, qvel, fric, bms, cstiff, coff, kps, kds, targets):
         # single-env XLA fallback (same math as the kernel)
         from ..terrain.terrain import flat_height_fn
         from .contact import (
@@ -727,13 +738,15 @@ def make_mega_step_batched(
         from .linalg import solve_lower_unrolled, solve_upper_unrolled
         from .step import pd_torques
 
-        implicit_d = kd_j + model.dof_damping
+        kp_eff = kp_j * kps
+        kd_eff = kd_j * kds
+        implicit_d = kd_eff + model.dof_damping
         mass_scale = jnp.ones(model.nbody).at[0].set(bms)
 
         @f32_matmul
         def substep(carry, _):
             qpos_c, qvel_c = carry
-            tau = pd_torques(model, qpos_c, qvel_c, targets, kp_j, kd_j, tlim_j)
+            tau = pd_torques(model, qpos_c, qvel_c, targets, kp_eff, kd_eff, tlim_j)
             dyn = compute_dynamics(model, qpos_c, qvel_c, dt, implicit_d, mass_scale)
             tau_fric = (
                 -model.dof_friction * jnp.tanh(qvel_c[6:] / 0.05)
@@ -744,7 +757,7 @@ def make_mega_step_batched(
             )
             setup = build_contact_setup(
                 model, dyn, flat_height_fn, dt,
-                contact_offset=contact_offset, max_depen_vel=max_depen_vel,
+                contact_offset=coff, max_depen_vel=max_depen_vel,
                 baumgarte=0.2 * cstiff,
             )
             sign, lb = joint_limit_bounds(model, qpos_c, dt)
@@ -775,9 +788,10 @@ def make_mega_step_batched(
         )
         return qpos_n, qvel_n, lams[-1], taus[-1]
 
-    def batched(qpos, qvel, fric, bms, cstiff, targets):
+    def batched(qpos, qvel, fric, bms, cstiff, coff, kps, kds, targets):
         packed = jnp.concatenate(
-            [qpos, qvel, targets, fric[:, None], bms[:, None], cstiff[:, None]],
+            [qpos, qvel, targets, fric[:, None], bms[:, None], cstiff[:, None],
+             coff[:, None], kps[:, None], kds[:, None]],
             axis=1,
         ).astype(jnp.float32)
         out = _mega_call(
@@ -812,7 +826,7 @@ def make_mega_step_batched(
             fn = shard_map(
                 batched,
                 mesh=ambient,
-                in_specs=(spec,) * 6,
+                in_specs=(spec,) * 9,
                 out_specs=(spec,) * 4,
                 check_rep=False,
             )

@@ -34,6 +34,9 @@ class PhysicsState:
     friction: jnp.ndarray  # () contact friction coefficient
     base_mass_scale: jnp.ndarray  # () multiplicative base-mass randomization
     contact_stiffness: jnp.ndarray  # () Baumgarte scale (contact-model DR)
+    contact_offset: jnp.ndarray  # () contact activation distance [m]
+    kp_scale: jnp.ndarray  # () actuator-strength scale on kp
+    kd_scale: jnp.ndarray  # () actuator-strength scale on kd
     # outputs of the last substep (for observations / rewards)
     contact_forces: jnp.ndarray  # (nb,3) net per-body contact force [N]
     torques: jnp.ndarray  # (nj,) last applied actuator torques
@@ -49,6 +52,9 @@ def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> Physi
         friction=jnp.asarray(1.0),
         base_mass_scale=jnp.asarray(1.0),
         contact_stiffness=jnp.asarray(1.0),
+        contact_offset=jnp.asarray(0.01),
+        kp_scale=jnp.asarray(1.0),
+        kd_scale=jnp.asarray(1.0),
         contact_forces=jnp.zeros((nb, 3)),
         torques=jnp.zeros(njnt),
     )
@@ -89,10 +95,13 @@ def make_substep(
 
     def substep(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
         qpos, qvel = state.qpos, state.qvel
-        tau = pd_torques(model, qpos, qvel, targets, kp, kd, torque_limit)
+        # motor-strength DR scales the effective PD gains per env
+        kp_eff = kp * state.kp_scale
+        kd_eff = kd * state.kd_scale
+        tau = pd_torques(model, qpos, qvel, targets, kp_eff, kd_eff, torque_limit)
 
         # implicit damping: PD kd + URDF viscous damping on joint DOFs
-        implicit_d = kd + model.dof_damping
+        implicit_d = kd_eff + model.dof_damping
         mass_scale = jnp.ones(nb).at[0].set(state.base_mass_scale)
         dyn = compute_dynamics(model, qpos, qvel, dt, implicit_d, mass_scale)
 
@@ -113,6 +122,7 @@ def make_substep(
             setup = build_contact_setup(
                 model, dyn, terrain_height_fn, dt, max_depen_vel=max_depen_vel,
                 baumgarte=0.2 * state.contact_stiffness,
+                contact_offset=state.contact_offset,
             )
             sign, lb = joint_limit_bounds(model, qpos, dt)
             D = jnp.concatenate([jnp.zeros(6, tau.dtype), implicit_d])
@@ -149,6 +159,7 @@ def make_substep(
                 max_depen_vel=max_depen_vel,
                 solver=solver,
                 baumgarte=0.2 * state.contact_stiffness,
+                contact_offset=state.contact_offset,
             )
         qvel_new = res.qvel_new
         # DOF velocity limits (PhysX clamps at maxVelocity; URDF <limit velocity>)
@@ -214,7 +225,8 @@ def make_physics_step(
         def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
             qpos_new, qvel_new, lam, tau = mega(
                 state.qpos, state.qvel, state.friction,
-                state.base_mass_scale, state.contact_stiffness, targets,
+                state.base_mass_scale, state.contact_stiffness,
+                state.contact_offset, state.kp_scale, state.kd_scale, targets,
             )
             forces = lam[: 3 * K].reshape(K, 3) / sim_dt
             cf = jnp.zeros((nb, 3), forces.dtype).at[body_idx].add(forces)

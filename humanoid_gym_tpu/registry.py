@@ -83,11 +83,17 @@ def _register_builtin():
     register("humanoid_ppo_terrain", terrain, terrain_ppo)
 
     def robust():  # full recipe + contact-model DR (transfer mitigation):
-        # round-1 finding — late checkpoints overfit engine-specific contact
-        # detail and lose zero-shot MuJoCo transfer; per-env log-uniform
-        # Baumgarte-scale randomization keeps them honest.
+        # round-1/2 finding — late checkpoints overfit engine-specific
+        # contact detail and lose zero-shot MuJoCo transfer. Stiffness-only
+        # DR ([0.5,2]) extended the transferable window (ckpt 600-1000 went
+        # 0/16 -> 16/16 vs round 1) but ckpt>=1100 still collapsed, so the
+        # package is widened: Baumgarte scale [0.25,4], contact-offset
+        # jitter, and per-env motor-strength scaling.
         cfg = XBotLCfg()
         cfg.domain_rand.randomize_contact_stiffness = True
+        cfg.domain_rand.contact_stiffness_range = [0.25, 4.0]
+        cfg.domain_rand.randomize_contact_offset = True
+        cfg.domain_rand.randomize_motor_strength = True
         return cfg
 
     def robust_ppo():

@@ -74,6 +74,17 @@ def train(args):
         cfg_overrides=overrides,
     )
     runner = OnPolicyRunner(env, train_cfg, log_dir=log_dir)
+    if runner.log_dir:
+        # reproducibility: dump the resolved config tree next to the ckpts
+        import json
+
+        from humanoid_gym_tpu.utils.helpers import class_to_dict
+
+        with open(os.path.join(runner.log_dir, "config.json"), "w") as f:
+            json.dump(
+                {"env": class_to_dict(env_cfg), "train": class_to_dict(train_cfg)},
+                f, indent=1, default=str,
+            )
     if resume_path is not None:
         # exact resume: restore Adam moments/count alongside params
         # (reference restores optimizer state by default, on_policy_runner.py:289-295)

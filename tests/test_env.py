@@ -372,3 +372,33 @@ def test_command_curriculum_global():
         np.asarray(state4.cmd_vx_range),
         np.broadcast_to(base, rng.shape), atol=1e-6,
     )
+
+
+def test_contact_offset_and_motor_dr():
+    """Widened contact-model DR: per-env contact-offset jitter and
+    motor-strength (kp/kd) scaling, sampled in range; defaults exact."""
+    cfg = _quiet_cfg(4)
+    cfg.domain_rand.randomize_contact_offset = True
+    cfg.domain_rand.contact_offset_range = [0.004, 0.03]
+    cfg.domain_rand.randomize_motor_strength = True
+    cfg.domain_rand.motor_strength_range = [0.8, 1.2]
+    env = make_env(cfg)
+    st = jax.jit(env.init_state)(
+        jax.random.split(jax.random.PRNGKey(13), 4), jnp.arange(4)
+    )
+    co = np.asarray(st.phys.contact_offset)
+    ks = np.asarray(st.phys.kp_scale)
+    ds = np.asarray(st.phys.kd_scale)
+    assert np.all((co >= 0.004) & (co <= 0.03)) and len(np.unique(co)) > 1
+    assert np.all((ks >= 0.8) & (ks <= 1.2)) and len(np.unique(ks)) > 1
+    assert np.all((ds >= 0.8) & (ds <= 1.2))
+    # defaults off -> exact nominal values
+    env2 = make_env(_quiet_cfg(2))
+    st2 = jax.jit(env2.init_state)(
+        jax.random.split(jax.random.PRNGKey(0), 2), jnp.arange(2)
+    )
+    np.testing.assert_allclose(np.asarray(st2.phys.contact_offset), 0.01, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st2.phys.kp_scale), 1.0)
+    # steps stay finite with everything on
+    st, tr = jax.jit(env.step)(st, jnp.zeros((4, 12)))
+    assert np.all(np.isfinite(np.asarray(tr.obs)))
