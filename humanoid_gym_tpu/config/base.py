@@ -148,6 +148,11 @@ class DomainRandCfg:
     # per-env contact-offset (activation distance) jitter, log-uniform [m]
     randomize_contact_offset: bool = False
     contact_offset_range: List[float] = _f(lambda: [0.005, 0.02])
+    # per-env contact compliance (CFM): A + c*mean(diag(A))*I — randomizes
+    # over the rigid<->soft contact family (MuJoCo's solref/solimp add the
+    # same kind of diagonal regularizer); log-uniform, 0 disabled
+    randomize_contact_compliance: bool = False
+    contact_compliance_range: List[float] = _f(lambda: [0.002, 0.2])
     # per-env actuator-strength scale on kp/kd (sim2real staple; attacks
     # policies that overfit the exact contact/actuation loop timing)
     randomize_motor_strength: bool = False

@@ -309,8 +309,8 @@ class HumanoidEnv:
         cfg = self.cfg
         (
             k_fric, k_bucket, k_mass, k_cmd, k_phys, k_lvl, k_cstiff,
-            k_coff, k_motor, k_state,
-        ) = jax.random.split(key, 10)
+            k_coff, k_motor, k_comp, k_state,
+        ) = jax.random.split(key, 11)
 
         if cfg.domain_rand.randomize_friction:
             lo, hi = cfg.domain_rand.friction_range
@@ -369,6 +369,15 @@ class HumanoidEnv:
         else:
             contact_offset = jnp.asarray(0.01)
 
+        if cfg.domain_rand.randomize_contact_compliance:
+            lo, hi = cfg.domain_rand.contact_compliance_range
+            u = jax.random.uniform(k_comp, ())
+            contact_compliance = jnp.exp(
+                jnp.log(lo) + u * (jnp.log(hi) - jnp.log(lo))
+            )
+        else:
+            contact_compliance = jnp.asarray(0.0)
+
         if cfg.domain_rand.randomize_motor_strength:
             lo, hi = cfg.domain_rand.motor_strength_range
             kp_scale, kd_scale = jax.random.uniform(
@@ -386,6 +395,7 @@ class HumanoidEnv:
             base_mass_scale=mass_scale,
             contact_stiffness=contact_stiffness,
             contact_offset=contact_offset,
+            contact_compliance=contact_compliance,
             kp_scale=kp_scale,
             kd_scale=kd_scale,
             contact_forces=jnp.zeros((m.nbody, 3)),

@@ -279,6 +279,7 @@ def resolve_contacts(
     max_depen_vel: float = 1.0,
     solver: str = "apgd",
     baumgarte=0.2,
+    compliance=0.0,
 ) -> ContactResult:
     setup = build_contact_setup(
         model, dyn, terrain_height_fn, dt, contact_offset=contact_offset,
@@ -295,6 +296,12 @@ def resolve_contacts(
     L = dyn.Mtilde_chol
     B = solve_lower_unrolled(L, setup.J.T)  # (nv, nrow)
     A = B.T @ B  # (nrow, nrow)
+    # contact compliance (CFM): A + r*mean(diag)*I — the velocity-level
+    # analog of MuJoCo's soft-constraint regularizer R (solref/solimp add a
+    # diagonal to the Delassus); r=0 is exact rigid contact. Used by the
+    # contact-model DR to randomize over the rigid<->compliant family.
+    nrow_ = A.shape[0]
+    A = A + compliance * (jnp.trace(A) / nrow_) * jnp.eye(nrow_, dtype=A.dtype)
     u0 = setup.J @ v_free
     if solver == "apgd":
         lam = apgd_solve(A, u0, K, setup.lo_bound, sign, lb, mu, iterations)

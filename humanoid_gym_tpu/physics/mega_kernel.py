@@ -54,6 +54,7 @@ IN_CSTIFF = 51
 IN_COFF = 52
 IN_KPS = 53
 IN_KDS = 54
+IN_COMP = 55
 IN_ROWS = 56  # padded to sublane multiple
 
 OUT_QPOS = 0
@@ -287,6 +288,7 @@ def _build_mega_kernel(
         coffset = inp[IN_COFF]  # contact activation distance
         kp_s = inp[IN_KPS]  # motor-strength scales
         kd_s = inp[IN_KDS]
+        comp = inp[IN_COMP]  # contact compliance (CFM; 0 = rigid)
         tgt_cmd = [inp[IN_TGT + j] for j in range(nj)]
 
         # scratch init (static patterns built from iotas — Mosaic-safe)
@@ -588,6 +590,7 @@ def _build_mega_kernel(
             qvel_new, lam = _fused_core(
                 Mt_s[...], Jt_s[...], qvel_t, rhs_t,
                 tgt_s[...], sign_s[...], mu, valid, iterations,
+                compliance=comp,
             )
 
             # ---- velocity limits + semi-implicit integration (step.py) ----
@@ -715,7 +718,7 @@ def make_mega_step_batched(
     has no GSPMD rule).
 
     Signature: (qpos, qvel, friction, base_mass_scale, contact_stiffness,
-    contact_offset, kp_scale, kd_scale, targets) ->
+    contact_offset, kp_scale, kd_scale, contact_compliance, targets) ->
     (qpos_new, qvel_new, lam (60,), tau (nj,)).
     """
     from jax.custom_batching import custom_vmap
@@ -727,7 +730,7 @@ def make_mega_step_batched(
     nj = model.nj
 
     @custom_vmap
-    def step(qpos, qvel, fric, bms, cstiff, coff, kps, kds, targets):
+    def step(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, targets):
         # single-env XLA fallback (same math as the kernel)
         from ..terrain.terrain import flat_height_fn
         from .contact import (
@@ -768,6 +771,8 @@ def make_mega_step_batched(
             )
             B = solve_lower_unrolled(L, setup.J.T)
             A = B.T @ B
+            nrow_ = A.shape[0]
+            A = A + comp * (jnp.trace(A) / nrow_) * jnp.eye(nrow_, dtype=A.dtype)
             u0 = setup.J @ v_free
             lam = apgd_solve(
                 A, u0, N_POINTS, setup.lo_bound, sign, lb, fric, iterations
@@ -788,10 +793,10 @@ def make_mega_step_batched(
         )
         return qpos_n, qvel_n, lams[-1], taus[-1]
 
-    def batched(qpos, qvel, fric, bms, cstiff, coff, kps, kds, targets):
+    def batched(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, targets):
         packed = jnp.concatenate(
             [qpos, qvel, targets, fric[:, None], bms[:, None], cstiff[:, None],
-             coff[:, None], kps[:, None], kds[:, None]],
+             coff[:, None], kps[:, None], kds[:, None], comp[:, None]],
             axis=1,
         ).astype(jnp.float32)
         out = _mega_call(
@@ -826,7 +831,7 @@ def make_mega_step_batched(
             fn = shard_map(
                 batched,
                 mesh=ambient,
-                in_specs=(spec,) * 9,
+                in_specs=(spec,) * 10,
                 out_specs=(spec,) * 4,
                 check_rep=False,
             )

@@ -234,7 +234,7 @@ NV = 18  # generalized velocities
 NVP = 24  # padded to sublane multiple
 
 
-def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations):
+def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations, compliance=None):
     """The on-chip dynamics+contact solve shared by the fused and mega
     kernels: cholesky(Mtilde) -> v_free -> B = L^-1 J^T -> A = B^T B ->
     APGD -> qvel_new. All operands are env-lane-major VMEM values:
@@ -248,6 +248,8 @@ def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations):
       mu     (1, 128)
       valid  (ROWS, 128) 1.0 on live constraint rows
       iterations: int or traced scalar (fori_loop bound)
+      compliance: optional (128,) CFM scale — adds
+        compliance*mean(diag(A))*I on live rows (soft-contact DR)
 
     Returns (qvel_new (NVP, 128), lam (ROWS, 128) unfolded to physical
     impulse signs).
@@ -317,6 +319,18 @@ def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations):
         Bk = B[k]
         Ac = Ac + Bk[:, None, :] * Bk[None, :, :]
 
+    if compliance is not None:
+        # CFM regularizer: Ac + compliance*mean(diag)*I on live rows
+        diag_sum = Ac[0][0] * valid[0]
+        for k in range(1, ROWS):
+            diag_sum = diag_sum + Ac[k][k] * valid[k]
+        nlive = jnp.maximum(jnp.sum(valid, axis=0), 1.0)  # (128,)
+        reg = compliance * diag_sum / nlive
+        rr_ = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS, ENV_TILE), 0)
+        cc_ = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS, ENV_TILE), 1)
+        eye3 = jnp.where(rr_ == cc_, 1.0, 0.0) * valid[:, None, :]
+        Ac = Ac + eye3 * reg[None, None, :]
+
     # ---- APGD (same scheme as _apgd_kernel) ----
     L_apgd = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ac), axis=1), axis=0), 1e-6)
     step = 1.0 / L_apgd  # (128,)
@@ -364,7 +378,7 @@ def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations):
 
 def _fused_kernel(
     Mt_ref, Jt_ref, qvel_ref, rhs_ref, target_ref, sign_ref, mu_ref,
-    nlim_ref, iters_ref, qvel_out_ref, lam_out_ref,
+    comp_ref, nlim_ref, iters_ref, qvel_out_ref, lam_out_ref,
 ):
     f32 = Mt_ref.dtype
     rrow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ENV_TILE), 0)
@@ -372,6 +386,7 @@ def _fused_kernel(
     qvel_new, lam = _fused_core(
         Mt_ref[0], Jt_ref[0], qvel_ref[0], rhs_ref[0], target_ref[0],
         sign_ref[0], mu_ref[0], valid, iters_ref[0],
+        compliance=comp_ref[0][0],
     )
     qvel_out_ref[0] = qvel_new
     lam_out_ref[0] = lam
@@ -387,6 +402,7 @@ def fused_solve_pallas(
     limit_sign: jnp.ndarray,  # (N, nlim)
     limit_bound: jnp.ndarray,  # (N, nlim)
     mu: jnp.ndarray,  # (N,)
+    compliance: jnp.ndarray,  # (N,) CFM scale (0 = rigid)
     iterations: int = 16,
     interpret: bool = False,
 ):
@@ -421,6 +437,7 @@ def fused_solve_pallas(
     target_p = pad(target, ((0, ROWS - nrow),))
     sign_p = jnp.pad(sign, ((0, n_pad), (0, ROWS - nrow)), constant_values=1.0)
     mu_p = pad(mu.astype(J.dtype)[:, None], ((0, 0),))
+    comp_p = pad(compliance.astype(J.dtype)[:, None], ((0, 0),))
 
     def to_tiles(x):
         x = x.reshape((T, ENV_TILE) + x.shape[1:])
@@ -448,6 +465,7 @@ def fused_solve_pallas(
             spec2(ROWS),  # target
             spec2(ROWS),  # sign
             spec2(1),  # mu
+            spec2(1),  # compliance
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -461,6 +479,7 @@ def fused_solve_pallas(
         to_tiles(target_p),
         to_tiles(sign_p),
         to_tiles(mu_p),
+        to_tiles(comp_p),
         jnp.asarray([nlim], jnp.int32),
         jnp.asarray([iterations], jnp.int32),
     )
@@ -478,7 +497,7 @@ def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
-    def solve(Mt, J, qvel, rhs, lo, sign, lb, mu):
+    def solve(Mt, J, qvel, rhs, lo, sign, lb, mu, compliance):
         # single-env fallback: unrolled XLA path (same math)
         from .contact import apgd_solve
         from .linalg import chol_unrolled, solve_lower_unrolled, solve_upper_unrolled
@@ -487,6 +506,8 @@ def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
         v_free = qvel + solve_upper_unrolled(L.T, solve_lower_unrolled(L, rhs))
         B = solve_lower_unrolled(L, J.T)
         A = B.T @ B
+        nrow_ = A.shape[0]
+        A = A + compliance * (jnp.trace(A) / nrow_) * jnp.eye(nrow_, dtype=A.dtype)
         u0 = J @ v_free
         lam = apgd_solve(A, u0, N_POINTS, lo, sign, lb, mu, iterations)
         qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
@@ -504,7 +525,7 @@ def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
         batched = shard_map(
             batched,
             mesh=mesh,
-            in_specs=(spec,) * 8,
+            in_specs=(spec,) * 9,
             out_specs=(spec, spec),
             check_rep=False,
         )

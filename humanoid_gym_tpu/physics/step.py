@@ -35,6 +35,7 @@ class PhysicsState:
     base_mass_scale: jnp.ndarray  # () multiplicative base-mass randomization
     contact_stiffness: jnp.ndarray  # () Baumgarte scale (contact-model DR)
     contact_offset: jnp.ndarray  # () contact activation distance [m]
+    contact_compliance: jnp.ndarray  # () CFM scale: A + c*mean(diag)*I (0 = rigid)
     kp_scale: jnp.ndarray  # () actuator-strength scale on kp
     kd_scale: jnp.ndarray  # () actuator-strength scale on kd
     # outputs of the last substep (for observations / rewards)
@@ -53,6 +54,7 @@ def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> Physi
         base_mass_scale=jnp.asarray(1.0),
         contact_stiffness=jnp.asarray(1.0),
         contact_offset=jnp.asarray(0.01),
+        contact_compliance=jnp.asarray(0.0),
         kp_scale=jnp.asarray(1.0),
         kd_scale=jnp.asarray(1.0),
         contact_forces=jnp.zeros((nb, 3)),
@@ -136,7 +138,8 @@ def make_substep(
                 mesh=get_solver_mesh(),
             )
             qvel_new, lam = fused(
-                Mt, setup.J, qvel, rhs, setup.lo_bound, sign, lb, state.friction
+                Mt, setup.J, qvel, rhs, setup.lo_bound, sign, lb,
+                state.friction, state.contact_compliance,
             )
             K = setup.phi.shape[0]
             res = ContactResult(
@@ -160,6 +163,7 @@ def make_substep(
                 solver=solver,
                 baumgarte=0.2 * state.contact_stiffness,
                 contact_offset=state.contact_offset,
+                compliance=state.contact_compliance,
             )
         qvel_new = res.qvel_new
         # DOF velocity limits (PhysX clamps at maxVelocity; URDF <limit velocity>)
@@ -226,7 +230,8 @@ def make_physics_step(
             qpos_new, qvel_new, lam, tau = mega(
                 state.qpos, state.qvel, state.friction,
                 state.base_mass_scale, state.contact_stiffness,
-                state.contact_offset, state.kp_scale, state.kd_scale, targets,
+                state.contact_offset, state.kp_scale, state.kd_scale,
+                state.contact_compliance, targets,
             )
             forces = lam[: 3 * K].reshape(K, 3) / sim_dt
             cf = jnp.zeros((nb, 3), forces.dtype).at[body_idx].add(forces)

@@ -91,9 +91,8 @@ def _register_builtin():
         # jitter, and per-env motor-strength scaling.
         cfg = XBotLCfg()
         cfg.domain_rand.randomize_contact_stiffness = True
-        cfg.domain_rand.contact_stiffness_range = [0.25, 4.0]
         cfg.domain_rand.randomize_contact_offset = True
-        cfg.domain_rand.randomize_motor_strength = True
+        cfg.domain_rand.randomize_contact_compliance = True
         return cfg
 
     def robust_ppo():

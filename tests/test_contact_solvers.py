@@ -262,3 +262,42 @@ def test_fused_pallas_shard_map(xbot_model):
     np.testing.assert_allclose(
         np.asarray(out_sm.qvel), np.asarray(out_ref.qvel), atol=1e-5
     )
+
+
+def test_contact_compliance_softens(xbot_model):
+    """CFM compliance: zero is exactly rigid (bit-compatible with the
+    pre-compliance path); positive compliance reduces contact impulses and
+    lets the robot settle lower (soft contact)."""
+    from humanoid_gym_tpu.physics.step import default_state, make_physics_step
+    from humanoid_gym_tpu.terrain.terrain import flat_height_fn
+
+    m = xbot_model
+    kp = jnp.asarray(
+        [200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15], jnp.float32
+    )
+    kd = jnp.full(12, 10.0)
+    tl = m.dof_effort * 0.85
+    step = jax.jit(
+        make_physics_step(
+            m, 0.001, 10, kp, kd, tl, flat_height_fn,
+            solver_iterations=24, solver="apgd",
+        )
+    )
+    st0 = default_state(m, jnp.asarray([0.0, 0.0, 0.93]), jnp.asarray([1.0, 0, 0, 0]))
+
+    def settle(comp):
+        s = st0.replace(contact_compliance=jnp.asarray(comp))
+        for _ in range(40):
+            s = step(s, jnp.zeros(12))
+        return s
+
+    rigid = settle(0.0)
+    soft = settle(0.5)
+    fz_r = float(jnp.sum(rigid.contact_forces[:, 2]))
+    fz_s = float(jnp.sum(soft.contact_forces[:, 2]))
+    # both support the robot, but the soft contact admits deeper penetration
+    assert fz_r > 300.0 and fz_s > 200.0
+    pen_r = float(rigid.qpos[2])
+    pen_s = float(soft.qpos[2])
+    assert pen_s < pen_r  # compliant envs settle measurably lower
+    assert pen_r - pen_s > 1e-4

@@ -31,6 +31,7 @@ def _states(m, n, seed=0):
         base_mass_scale=jnp.asarray(rng.uniform(0.9, 1.1, n), jnp.float32),
         contact_stiffness=jnp.asarray(rng.uniform(0.7, 1.5, n), jnp.float32),
         contact_offset=jnp.asarray(rng.uniform(0.004, 0.025, n), jnp.float32),
+        contact_compliance=jnp.asarray(rng.uniform(0.0, 0.2, n), jnp.float32),
         kp_scale=jnp.asarray(rng.uniform(0.8, 1.2, n), jnp.float32),
         kd_scale=jnp.asarray(rng.uniform(0.8, 1.2, n), jnp.float32),
     )
