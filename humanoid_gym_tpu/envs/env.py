@@ -92,6 +92,7 @@ class HumanoidEnv:
         terrain_height_fn: Optional[Callable] = None,
         terrain_origins: Optional[np.ndarray] = None,
         num_envs: Optional[int] = None,
+        terrain_map=None,
     ):
         self.cfg = cfg
         self.num_envs = num_envs or cfg.env.num_envs
@@ -147,6 +148,7 @@ class HumanoidEnv:
             solver_iterations=cfg.sim.solver.solver_iterations,
             solver=cfg.sim.solver.solver_type,
             unroll=cfg.sim.solver.substep_unroll,
+            terrain_map=terrain_map,
         )
 
         # reward pipeline: nonzero scales, premultiplied by dt
@@ -853,4 +855,5 @@ def make_env(cfg: LeggedRobotCfg, num_envs: Optional[int] = None, **kw) -> Human
         tmap = TerrainMap.build(cfg.terrain, np.random.default_rng(0))
         kw.setdefault("terrain_height_fn", make_height_fn(tmap))
         kw.setdefault("terrain_origins", tmap.env_origins)
+        kw.setdefault("terrain_map", tmap)
     return HumanoidEnv(cfg, num_envs=num_envs, **kw)

@@ -57,6 +57,14 @@ IN_KDS = 54
 IN_COMP = 55
 IN_ROWS = 56  # padded to sublane multiple
 
+# terrain second input (when built with a heightfield): per contact point a
+# 3x3 patch of the precomputed 3-tap-MIN grid (already in meters) sampled at
+# policy-step start, plus the patch origin in grid units
+IN2_PMIN = 0  # rows [kk*9 .. kk*9+8]
+IN2_OX = 9 * N_POINTS  # 144 + kk
+IN2_OY = 10 * N_POINTS  # 160 + kk
+IN2_ROWS = 184  # 176 padded to sublane multiple
+
 OUT_QPOS = 0
 OUT_QVEL = 19
 OUT_LAM = 37  # 60 rows (48 contact + 12 limit), physical signs
@@ -273,14 +281,24 @@ def _build_mega_kernel(
     lim_baumgarte: float,
     lim_max_depen: float,
     lim_margin: float,
+    terrain=None,  # optional (border, inv_h, nrow, ncol) static floats
 ):
     nj = sm.nj
     nb = sm.nb
     K = len(sm.cbody)
     assert K == N_POINTS and nj == 12 and nb == 13
+    if terrain is not None:
+        terr_border, terr_inv_h, terr_nrow, terr_ncol = (
+            float(terrain[0]), float(terrain[1]), float(terrain[2]), float(terrain[3])
+        )
 
-    def kernel(in_ref, out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s):
+    def kernel(in_ref, *rest):
         """st_s rows: 0-18 qpos, 19-36 qvel, 37-96 lam, 97-108 tau."""
+        if terrain:
+            in2_ref, out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s = rest
+            in2 = in2_ref[0]  # (IN2_ROWS, 128)
+        else:
+            out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s = rest
         inp = in_ref[0]  # (IN_ROWS, 128)
         mu = inp[IN_FRIC][None, :]  # (1, 128)
         ms = inp[IN_MS]  # base-mass scale
@@ -531,7 +549,28 @@ def _build_mega_kernel(
             for kk in range(K):
                 fi = sm.cbody[kk]
                 X = v_add(p[fi], m_vec(R[fi], const_v3(sm.coff[kk])))
-                phi = X[2]  # flat plane: ground height 0
+                if terrain:
+                    # 3-tap-min heightfield lookup from the per-point 3x3
+                    # min-grid patch (in-kernel one-hot select; the patch
+                    # window tracks the point's step-start cell +-1 — a foot
+                    # leaving it within 10 ms clamps to the window edge)
+                    fx = (X[0] + terr_border) * terr_inv_h
+                    fy = (X[1] + terr_border) * terr_inv_h
+                    pxg = jnp.clip(jnp.floor(fx), 0.0, terr_nrow - 2.0)
+                    pyg = jnp.clip(jnp.floor(fy), 0.0, terr_ncol - 2.0)
+                    rx = jnp.clip(pxg - in2[IN2_OX + kk], 0.0, 2.0)
+                    ry = jnp.clip(pyg - in2[IN2_OY + kk], 0.0, 2.0)
+                    ground = None
+                    for ii in range(3):
+                        ai = jnp.where(rx == float(ii), 1.0, 0.0)
+                        for jj in range(3):
+                            bj = jnp.where(ry == float(jj), 1.0, 0.0)
+                            ground = _add(
+                                ground, in2[IN2_PMIN + kk * 9 + ii * 3 + jj] * ai * bj
+                            )
+                    phi = X[2] - ground
+                else:
+                    phi = X[2]  # flat plane: ground height 0
                 b_pen = jnp.minimum(bmg * (-phi) * inv_dt, max_depen_vel)
                 b_gap = -phi * inv_dt
                 lo = jnp.where(phi <= 0.0, b_pen, b_gap)
@@ -643,11 +682,12 @@ def _build_mega_kernel(
     jax.jit,
     static_argnames=(
         "sm", "dt", "decimation", "iterations", "contact_offset",
-        "max_depen_vel", "interpret",
+        "max_depen_vel", "interpret", "terrain",
     ),
 )
 def _mega_call(
     packed: jnp.ndarray,  # (N, IN_ROWS-ish real rows)
+    packed2,  # (N, 176) terrain patches or None
     sm,
     dt: float,
     decimation: int,
@@ -655,11 +695,13 @@ def _mega_call(
     contact_offset: float,
     max_depen_vel: float,
     interpret: bool,
+    terrain=None,
 ):
     N = packed.shape[0]
     kernel = _build_mega_kernel(
         sm, dt, decimation, iterations, contact_offset, max_depen_vel,
         lim_baumgarte=0.2, lim_max_depen=2.0, lim_margin=0.05,
+        terrain=terrain,
     )
     n_pad = (-N) % ENV_TILE
     Np = N + n_pad
@@ -670,16 +712,21 @@ def _mega_call(
         xp = xp.at[N:, 3].set(1.0)
     tiles = jnp.moveaxis(xp.reshape(T, ENV_TILE, IN_ROWS), 1, -1)
 
+    spec_in = lambda rows: pl.BlockSpec(
+        (1, rows, ENV_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [spec_in(IN_ROWS)]
+    args = [tiles]
+    if terrain is not None:
+        xp2 = jnp.pad(packed2, ((0, n_pad), (0, IN2_ROWS - packed2.shape[1])))
+        args.append(jnp.moveaxis(xp2.reshape(T, ENV_TILE, IN2_ROWS), 1, -1))
+        in_specs.append(spec_in(IN2_ROWS))
+
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, ENV_TILE), jnp.float32),
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, IN_ROWS, ENV_TILE), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, OUT_ROWS, ENV_TILE), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -692,7 +739,7 @@ def _mega_call(
             pltpu.VMEM((OUT_ROWS, ENV_TILE), jnp.float32),  # state
         ],
         interpret=interpret,
-    )(tiles)
+    )(*args)
     return jnp.moveaxis(out, -1, 1).reshape(Np, OUT_ROWS)[:N]
 
 
@@ -708,6 +755,7 @@ def make_mega_step_batched(
     max_depen_vel: float = 1.0,
     interpret: bool = False,
     mesh=None,
+    terrain_map=None,
 ):
     """Whole-policy-step physics with a custom vmap rule.
 
@@ -729,10 +777,62 @@ def make_mega_step_batched(
     tlim_j = jnp.asarray(torque_limit)
     nj = model.nj
 
+    if terrain_map is not None:
+        # precomputed 3-tap-min grid: height_fn(x, y) ==
+        # Pg[px, py] with px = clip(floor((x+border)/h), 0, nrow-2)
+        hf = np.asarray(terrain_map.height_field, np.float32)
+        Pg_np = (
+            np.minimum(np.minimum(hf[:-1, :-1], hf[1:, :-1]), hf[:-1, 1:])
+            * float(terrain_map.vertical_scale)
+        )
+        Pg = jnp.asarray(Pg_np)
+        t_border = float(terrain_map.border_size)
+        t_inv_h = 1.0 / float(terrain_map.horizontal_scale)
+        t_nrow, t_ncol = hf.shape
+        terr = (t_border, t_inv_h, float(t_nrow), float(t_ncol))
+        cbody = jnp.asarray(model.contact_point_body)
+        coff = model.contact_point_offset
+
+        from .kinematics import f32_matmul, fk
+
+        @f32_matmul
+        def _contact_xy(qp):
+            k = fk(model, qp)
+            pos = k.p[cbody] + jnp.einsum("kij,kj->ki", k.R[cbody], coff)
+            return pos[:, :2]
+
+        def terrain_patches(qpos):  # (N, nq) -> (N, 176)
+            xy = jax.vmap(_contact_xy)(qpos)  # (N, K, 2)
+            px = jnp.clip(
+                jnp.floor((xy[..., 0] + t_border) * t_inv_h).astype(jnp.int32),
+                0, t_nrow - 2,
+            )
+            py = jnp.clip(
+                jnp.floor((xy[..., 1] + t_border) * t_inv_h).astype(jnp.int32),
+                0, t_ncol - 2,
+            )
+            ox = jnp.clip(px - 1, 0, t_nrow - 4)
+            oy = jnp.clip(py - 1, 0, t_ncol - 4)
+            patch = jnp.stack(
+                [Pg[ox + i, oy + j] for i in range(3) for j in range(3)],
+                axis=-1,
+            )  # (N, K, 9)
+            N = qpos.shape[0]
+            return jnp.concatenate(
+                [
+                    patch.reshape(N, -1),
+                    ox.astype(jnp.float32),
+                    oy.astype(jnp.float32),
+                ],
+                axis=1,
+            )
+    else:
+        terr = None
+
     @custom_vmap
     def step(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, targets):
         # single-env XLA fallback (same math as the kernel)
-        from ..terrain.terrain import flat_height_fn
+        from ..terrain.terrain import flat_height_fn, make_height_fn
         from .contact import (
             apgd_solve, build_contact_setup, joint_limit_bounds,
         )
@@ -743,6 +843,9 @@ def make_mega_step_batched(
 
         kp_eff = kp_j * kps
         kd_eff = kd_j * kds
+        height_fn = (
+            make_height_fn(terrain_map) if terrain_map is not None else flat_height_fn
+        )
         implicit_d = kd_eff + model.dof_damping
         mass_scale = jnp.ones(model.nbody).at[0].set(bms)
 
@@ -759,7 +862,7 @@ def make_mega_step_batched(
                 [jnp.zeros(6, tau.dtype), tau + tau_fric]
             )
             setup = build_contact_setup(
-                model, dyn, flat_height_fn, dt,
+                model, dyn, height_fn, dt,
                 contact_offset=coff, max_depen_vel=max_depen_vel,
                 baumgarte=0.2 * cstiff,
             )
@@ -799,9 +902,11 @@ def make_mega_step_batched(
              coff[:, None], kps[:, None], kds[:, None], comp[:, None]],
             axis=1,
         ).astype(jnp.float32)
+        packed2 = terrain_patches(qpos) if terr is not None else None
         out = _mega_call(
-            packed, sm, float(dt), int(decimation), int(iterations),
+            packed, packed2, sm, float(dt), int(decimation), int(iterations),
             float(contact_offset), float(max_depen_vel), bool(interpret),
+            terrain=terr,
         )
         return (
             out[:, OUT_QPOS:OUT_QPOS + NQ],

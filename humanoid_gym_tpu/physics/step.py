@@ -200,6 +200,7 @@ def make_physics_step(
     solver_iterations: int = 24,
     solver: str = "apgd",
     unroll: int = 1,
+    terrain_map=None,
 ):
     """Returns step(state, joint_targets) -> state running `decimation`
     substeps at sim_dt with the targets held (100 Hz policy / 1 kHz physics,
@@ -213,9 +214,9 @@ def make_physics_step(
         from ..terrain.terrain import flat_height_fn
         from .mega_kernel import make_mega_step_batched
 
-        assert terrain_height_fn is flat_height_fn, (
-            "mega solver supports flat-plane terrain only; use fused_pallas "
-            "for heightfield tasks"
+        assert terrain_height_fn is flat_height_fn or terrain_map is not None, (
+            "mega solver needs a flat plane or the TerrainMap (for the "
+            "in-kernel heightfield patches); use fused_pallas otherwise"
         )
         nb = model.nbody
         K = model.ncon
@@ -224,6 +225,9 @@ def make_physics_step(
             model, sim_dt, decimation, kp, kd, torque_limit,
             iterations=solver_iterations,
             interpret=solver.endswith("interpret"),
+            terrain_map=(
+                terrain_map if terrain_height_fn is not flat_height_fn else None
+            ),
         )
 
         def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:

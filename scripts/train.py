@@ -62,10 +62,10 @@ def train(args):
 
         if jax.default_backend() == "cpu":
             default_solver = "apgd"
-        elif c.terrain.mesh_type == "plane":
-            default_solver = "mega"
         else:
-            default_solver = "fused_pallas"
+            # mega handles heightfields too (per-point min-grid patches
+            # gathered in XLA, one-hot selected in-kernel)
+            default_solver = "mega"
         c.sim.solver.solver_type = os.environ.get("HGT_SOLVER", default_solver)
 
     env, _ = registry.make_env(

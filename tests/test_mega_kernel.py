@@ -129,3 +129,49 @@ def test_mega_shard_map(xbot_model):
     np.testing.assert_allclose(
         np.asarray(out_sm.qpos), np.asarray(out_ref.qpos), atol=1e-6
     )
+
+
+def test_mega_terrain_matches_apgd():
+    """Terrain variant: the in-kernel heightfield lookup (per-point 3x3
+    min-grid patches, one-hot selected) must reproduce the XLA apgd path's
+    terrain contact behavior through the full env step."""
+    from humanoid_gym_tpu.config.xbotl import XBotLCfg
+    from humanoid_gym_tpu.envs import make_env
+
+    def cfg_for(solver):
+        cfg = XBotLCfg()
+        cfg.env.num_envs = 4
+        cfg.terrain.mesh_type = "trimesh"
+        cfg.terrain.curriculum = False
+        cfg.terrain.num_rows = 2
+        cfg.terrain.num_cols = 2
+        cfg.terrain.border_size = 5.0
+        cfg.noise.add_noise = False
+        cfg.domain_rand.push_robots = False
+        cfg.domain_rand.action_delay = 0.0
+        cfg.domain_rand.action_noise = 0.0
+        cfg.sim.solver.solver_type = solver
+        return cfg
+
+    def run(solver, n_steps=25):
+        # 25 policy steps: touchdown happens ~step 14 (envs spawn with
+        # clearance above the heightfield), settled support by 25
+        env = make_env(cfg_for(solver))
+        keys = jax.random.split(jax.random.PRNGKey(21), 4)
+        st = jax.jit(env.init_state)(keys, jnp.arange(4))
+        step = jax.jit(env.step)
+        for _ in range(n_steps):
+            st, tr = step(st, jnp.zeros((4, 12)))
+        return st
+
+    ref = run("apgd")
+    meg = run("mega_interpret")
+    np.testing.assert_allclose(
+        np.asarray(meg.phys.qpos), np.asarray(ref.phys.qpos), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(meg.phys.qvel), np.asarray(ref.phys.qvel), atol=0.1
+    )
+    # feet actually touched terrain (contact forces support the robot)
+    fz = np.asarray(meg.phys.contact_forces)[:, :, 2].sum(axis=1)
+    assert np.all(fz > 100.0), fz
