@@ -361,7 +361,14 @@ def _build_mega_kernel(
                 (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
             )
             R = [R0]
-            p = [pos0]
+            # FK is seeded at the ORIGIN: every position below (p, pivot_w,
+            # com_w, contact X) is base-relative, which keeps the f32 CRBA /
+            # screw algebra translation-invariant. Absolute world coordinates
+            # (|xy| can exceed 100 m on big terrain grids) would make the
+            # m*c^2 composite terms swamp the ~1e-2 inertia entries and the
+            # Cholesky goes NaN from cancellation. pos0 is re-added only for
+            # the ground-height query.
+            p = [v3()]
             axis_w = []
             pivot_w = []
             for i in range(nj):
@@ -476,7 +483,7 @@ def _build_mega_kernel(
             # ---- bias vector h (= J^T of accumulated forces) ----
             h = [None] * NV
             h[0], h[1], h[2] = F_sub[0]
-            tb = v_sub(T_sub[0], v_cross(pos0, F_sub[0]))
+            tb = T_sub[0]  # base sits at the (relative) origin
             h[3], h[4], h[5] = tb
             for i in range(nj):
                 b = i + 1
@@ -493,7 +500,7 @@ def _build_mega_kernel(
             for kk in range(3):  # base rotation (pivot = base origin)
                 e = [0.0] * 3
                 e[kk] = 1.0
-                screws.append((tuple(e), v_cross(tuple(e), v_scale(pos0, -1.0))))
+                screws.append((tuple(e), v3()))  # pivot = base = origin
             for i in range(nj):
                 screws.append((axis_w[i], v_cross(pivot_w[i], axis_w[i])))
 
@@ -548,14 +555,16 @@ def _build_mega_kernel(
             bmg = 0.2 * cstiff  # contact Baumgarte scale (contact-model DR)
             for kk in range(K):
                 fi = sm.cbody[kk]
+                # base-relative contact point; absolute only for ground query
                 X = v_add(p[fi], m_vec(R[fi], const_v3(sm.coff[kk])))
+                Xz_abs = _materialize(_add(X[2], pos0[2]))
                 if terrain:
                     # 3-tap-min heightfield lookup from the per-point 3x3
                     # min-grid patch (in-kernel one-hot select; the patch
                     # window tracks the point's step-start cell +-1 — a foot
                     # leaving it within 10 ms clamps to the window edge)
-                    fx = (X[0] + terr_border) * terr_inv_h
-                    fy = (X[1] + terr_border) * terr_inv_h
+                    fx = (_materialize(_add(X[0], pos0[0])) + terr_border) * terr_inv_h
+                    fy = (_materialize(_add(X[1], pos0[1])) + terr_border) * terr_inv_h
                     pxg = jnp.clip(jnp.floor(fx), 0.0, terr_nrow - 2.0)
                     pyg = jnp.clip(jnp.floor(fy), 0.0, terr_ncol - 2.0)
                     rx = jnp.clip(pxg - in2[IN2_OX + kk], 0.0, 2.0)
@@ -568,16 +577,17 @@ def _build_mega_kernel(
                             ground = _add(
                                 ground, in2[IN2_PMIN + kk * 9 + ii * 3 + jj] * ai * bj
                             )
-                    phi = X[2] - ground
+                    phi = Xz_abs - ground
                 else:
-                    phi = X[2]  # flat plane: ground height 0
+                    phi = Xz_abs  # flat plane: ground height 0
                 b_pen = jnp.minimum(bmg * (-phi) * inv_dt, max_depen_vel)
                 b_gap = -phi * inv_dt
                 lo = jnp.where(phi <= 0.0, b_pen, b_gap)
                 lo = jnp.where(phi > coffset, -1e9, lo)
                 tgt_s[3 * kk + 2] = lo
-                # J rows: base rotation columns e_c × (X − p_base)
-                d = v_sub(X, pos0)
+                # J rows: base rotation columns e_c × (X − p_base); X is
+                # already base-relative
+                d = X
                 d0, d1, d2 = (_materialize(d[i]) for i in range(3))
                 Jt_s[3, 3 * kk + 1] = -d2
                 Jt_s[3, 3 * kk + 2] = d1
