@@ -84,11 +84,11 @@ def _register_builtin():
 
     def robust():  # full recipe + contact-model DR (transfer mitigation):
         # round-1/2 finding — late checkpoints overfit engine-specific
-        # contact detail and lose zero-shot MuJoCo transfer. Stiffness-only
-        # DR ([0.5,2]) extended the transferable window (ckpt 600-1000 went
-        # 0/16 -> 16/16 vs round 1) but ckpt>=1100 still collapsed, so the
-        # package is widened: Baumgarte scale [0.25,4], contact-offset
-        # jitter, and per-env motor-strength scaling.
+        # contact detail and lose zero-shot MuJoCo transfer. Recipe v3
+        # (stiffness [0.5,2] + contact-offset jitter + per-env CFM
+        # compliance; docs/ROUND2.md) keeps ckpt 1400-2600 mostly 13-16/16
+        # MuJoCo survivals vs round-1's 0/16 past ckpt 600. No recipe made
+        # EVERY late ckpt safe — pair with robustness-curve ckpt selection.
         cfg = XBotLCfg()
         cfg.domain_rand.randomize_contact_stiffness = True
         cfg.domain_rand.randomize_contact_offset = True
