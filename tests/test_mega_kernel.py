@@ -175,3 +175,32 @@ def test_mega_terrain_matches_apgd():
     # feet actually touched terrain (contact forces support the robot)
     fz = np.asarray(meg.phys.contact_forces)[:, :, 2].sum(axis=1)
     assert np.all(fz > 100.0), fz
+
+
+def test_mega_translation_invariance(xbot_model):
+    """Dynamics must be identical when the whole scene is shifted far from
+    the world origin (regression: world-origin CRBA composites cancelled
+    catastrophically in f32 past |xy| ~ 100 m and the solve went NaN)."""
+    m = xbot_model
+    n = 4
+    stb = _states(m, n)
+    rng = np.random.default_rng(2)
+    targets = jnp.asarray(rng.uniform(-0.2, 0.2, (n, 12)), jnp.float32)
+    shift = jnp.asarray([137.0, 149.0], jnp.float32)
+    stb_far = stb.replace(qpos=stb.qpos.at[:, 0:2].add(shift[None, :]))
+
+    near = _run(m, "mega_interpret", stb, targets)
+    far = _run(m, "mega_interpret", stb_far, targets)
+
+    assert np.isfinite(np.asarray(far.qpos)).all()
+    qfar = np.array(far.qpos)
+    qfar[:, 0:2] -= np.asarray(shift)[None, :]
+    # f32 position rows carry ~1e-4 absolute noise at 150 m magnitude; the
+    # dynamics (velocities, forces) must be tight
+    np.testing.assert_allclose(qfar, np.asarray(near.qpos), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(far.qvel), np.asarray(near.qvel), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(far.contact_forces), np.asarray(near.contact_forces), atol=10.0
+    )
