@@ -58,8 +58,9 @@ class JointEnv:
     def init_state(self, keys, idx):
         states = []
         for e, c, off in zip(self.envs, self.counts, self._offsets):
+            # jit: eager vmapped init at thousands of envs takes minutes
             states.append(
-                e.init_state(keys[off : off + c], jnp.arange(c))
+                jax.jit(e.init_state)(keys[off : off + c], jnp.arange(c))
             )
         return states  # list-of-pytrees: the joint state
 
