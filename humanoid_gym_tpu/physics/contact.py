@@ -216,6 +216,7 @@ def apgd_solve(
     limit_bound: jnp.ndarray,  # (nlim,)
     mu: jnp.ndarray,  # () friction coefficient
     iterations: int,
+    step_bound: jnp.ndarray | None = None,  # () Lipschitz bound >= lam_max(A)
 ) -> jnp.ndarray:
     """Accelerated projected gradient (Nesterov + adaptive restart) on the
     convex contact QP: min 0.5 lam^T A lam + lam^T r over the product of
@@ -235,8 +236,15 @@ def apgd_solve(
     target = target.at[3 * n_points :].set(limit_sign * limit_bound)
     r = u0 - target
 
-    # step size 1/L with L >= ||A||_inf (row-sum bound, per env)
-    L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=-1)), 1e-6)
+    # step size 1/L. Callers that hold the half-factor B (A = B^T B) pass
+    # step_bound = ||B B^T||_inf (+ compliance reg): same spectrum as A on a
+    # (nv, nv) matrix, so the bound is tighter (measured ~1.7x lam_max vs
+    # ~2.4x for ||A||_inf on the 60x60 Delassus) -> faster convergence at a
+    # fixed iteration count. All solver paths share this bound so the
+    # equivalence contract holds. Fallback: row-sum bound on A itself.
+    if step_bound is None:
+        step_bound = jnp.max(jnp.sum(jnp.abs(A), axis=-1))
+    L = jnp.maximum(step_bound, 1e-6)
     step = 1.0 / L
 
     def body(_, carry):
@@ -301,10 +309,18 @@ def resolve_contacts(
     # diagonal to the Delassus); r=0 is exact rigid contact. Used by the
     # contact-model DR to randomize over the rigid<->compliant family.
     nrow_ = A.shape[0]
-    A = A + compliance * (jnp.trace(A) / nrow_) * jnp.eye(nrow_, dtype=A.dtype)
+    reg = compliance * (jnp.trace(A) / nrow_)
+    A = A + reg * jnp.eye(nrow_, dtype=A.dtype)
     u0 = setup.J @ v_free
+    # shared APGD step bound from the small Gram matrix G = B B^T (same
+    # nonzero spectrum as A = B^T B, invariant to limit-row sign folding)
+    G = B @ B.T
+    step_bound = jnp.max(jnp.sum(jnp.abs(G), axis=-1)) + reg
     if solver == "apgd":
-        lam = apgd_solve(A, u0, K, setup.lo_bound, sign, lb, mu, iterations)
+        lam = apgd_solve(
+            A, u0, K, setup.lo_bound, sign, lb, mu, iterations,
+            step_bound=step_bound,
+        )
     elif solver in ("apgd_pallas", "apgd_pallas_interpret"):
         from .pallas_solver import N_POINTS, make_apgd_batched
 
@@ -312,7 +328,7 @@ def resolve_contacts(
         solve = make_apgd_batched(
             iterations, interpret=solver.endswith("interpret")
         )
-        lam = solve(A, u0, setup.lo_bound, sign, lb, mu)
+        lam = solve(A, u0, setup.lo_bound, sign, lb, mu, step_bound)
     else:
         lam = pgs_solve(A, u0, K, setup.lo_bound, sign, lb, mu, iterations)
     qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)

@@ -41,7 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .model import RobotModel
-from .pallas_solver import ENV_TILE, N_POINTS, NV, NVP, ROWS, _fused_core
+from .pallas_solver import (
+    ENV_TILE, N_POINTS, NV, NVP, ROWS, _fused_core_opt,
+)
 
 # input/output row layouts (env-lane-major tiles)
 NQ = 19
@@ -295,10 +297,10 @@ def _build_mega_kernel(
     def kernel(in_ref, *rest):
         """st_s rows: 0-18 qpos, 19-36 qvel, 37-96 lam, 97-108 tau."""
         if terrain:
-            in2_ref, out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s = rest
+            in2_ref, out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s, L_s = rest
             in2 = in2_ref[0]  # (IN2_ROWS, 128)
         else:
-            out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s = rest
+            out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s, L_s = rest
         inp = in_ref[0]  # (IN_ROWS, 128)
         mu = inp[IN_FRIC][None, :]  # (1, 128)
         ms = inp[IN_MS]  # base-mass scale
@@ -636,8 +638,8 @@ def _build_mega_kernel(
             qvel_t = jnp.concatenate(
                 [st[19:37], jnp.zeros((NVP - NV, ENV_TILE), jnp.float32)], axis=0
             )
-            qvel_new, lam = _fused_core(
-                Mt_s[...], Jt_s[...], qvel_t, rhs_t,
+            qvel_new, lam = _fused_core_opt(
+                L_s, Mt_s[...], Jt_s[...], qvel_t, rhs_t,
                 tgt_s[...], sign_s[...], mu, valid, iterations,
                 compliance=comp,
             )
@@ -747,6 +749,7 @@ def _mega_call(
             pltpu.VMEM((ROWS, ENV_TILE), jnp.float32),  # target
             pltpu.VMEM((ROWS, ENV_TILE), jnp.float32),  # sign
             pltpu.VMEM((OUT_ROWS, ENV_TILE), jnp.float32),  # state
+            pltpu.VMEM((NVP, NVP, ENV_TILE), jnp.float32),  # Cholesky L
         ],
         interpret=interpret,
     )(*args)
@@ -885,10 +888,14 @@ def make_mega_step_batched(
             B = solve_lower_unrolled(L, setup.J.T)
             A = B.T @ B
             nrow_ = A.shape[0]
-            A = A + comp * (jnp.trace(A) / nrow_) * jnp.eye(nrow_, dtype=A.dtype)
+            reg = comp * (jnp.trace(A) / nrow_)
+            A = A + reg * jnp.eye(nrow_, dtype=A.dtype)
             u0 = setup.J @ v_free
+            G = B @ B.T
+            step_bound = jnp.max(jnp.sum(jnp.abs(G), axis=-1)) + reg
             lam = apgd_solve(
-                A, u0, N_POINTS, setup.lo_bound, sign, lb, fric, iterations
+                A, u0, N_POINTS, setup.lo_bound, sign, lb, fric, iterations,
+                step_bound=step_bound,
             )
             qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
             vj = jnp.clip(qvel_new[6:], -model.dof_vel_limit, model.dof_vel_limit)

@@ -110,6 +110,7 @@ def apgd_solve_pallas(
     limit_sign: jnp.ndarray,  # (N, nlim)
     limit_bound: jnp.ndarray,  # (N, nlim)
     mu: jnp.ndarray,  # (N,)
+    step_bound: jnp.ndarray | None = None,  # (N,) Lipschitz bound
     iterations: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -129,7 +130,9 @@ def apgd_solve_pallas(
     target = target.at[:, nc3:].set(limit_bound)  # already sign-local bound
     r = s * u0 - target
 
-    L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A_f), axis=-1), axis=-1), 1e-6)
+    if step_bound is None:
+        step_bound = jnp.max(jnp.sum(jnp.abs(A_f), axis=-1), axis=-1)
+    L = jnp.maximum(step_bound, 1e-6)
     step = (1.0 / L).astype(A.dtype)
 
     # pad rows to ROWS, envs to a multiple of ENV_TILE
@@ -205,14 +208,17 @@ def make_apgd_batched(iterations: int, interpret: bool = False):
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
-    def solve(A, u0, lo, sign, lb, mu):
+    def solve(A, u0, lo, sign, lb, mu, step_bound):
         from .contact import apgd_solve
 
-        return apgd_solve(A, u0, N_POINTS, lo, sign, lb, mu, iterations)
+        return apgd_solve(
+            A, u0, N_POINTS, lo, sign, lb, mu, iterations,
+            step_bound=step_bound,
+        )
 
     @solve.def_vmap
-    def _vmap_rule(axis_size, in_batched, A, u0, lo, sign, lb, mu):
-        args = [A, u0, lo, sign, lb, mu]
+    def _vmap_rule(axis_size, in_batched, A, u0, lo, sign, lb, mu, step_bound):
+        args = [A, u0, lo, sign, lb, mu, step_bound]
         args = [
             x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
             for x, b in zip(args, in_batched)
@@ -331,8 +337,17 @@ def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations, complian
         eye3 = jnp.where(rr_ == cc_, 1.0, 0.0) * valid[:, None, :]
         Ac = Ac + eye3 * reg[None, None, :]
 
-    # ---- APGD (same scheme as _apgd_kernel) ----
-    L_apgd = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ac), axis=1), axis=0), 1e-6)
+    # ---- APGD step bound: ||G||_inf on the small Gram G = B B^T (same
+    # spectrum as Ac, tighter than ||Ac||_inf; shared with every APGD path
+    # so the solver-equivalence contract holds) ----
+    absG_rowsum = None
+    for v in range(NV):
+        Gv = jnp.sum(B * B[v][None, :, :], axis=1)  # (NVP, 128)
+        s_ = jnp.sum(jnp.abs(Gv), axis=0)  # (128,)
+        absG_rowsum = s_ if absG_rowsum is None else jnp.maximum(absG_rowsum, s_)
+    if compliance is not None:
+        absG_rowsum = absG_rowsum + reg
+    L_apgd = jnp.maximum(absG_rowsum, 1e-6)
     step = 1.0 / L_apgd  # (128,)
 
     nc3 = 3 * N_POINTS
@@ -374,6 +389,153 @@ def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations, complian
     y1 = jnp.sum(B * lam[None, :, :], axis=1)  # (NVP, 128)
     dv = solve_upper(y1)
     return v_free + dv, lam * sign  # lam unfolded to physical impulses
+
+
+def _fused_core_opt(
+    L_ref, Mt, Jt, qvel, rhs, target, sign, mu, valid, iterations,
+    compliance=None,
+):
+    """Optimized mega-kernel solve stage — same math as `_fused_core`, same
+    operand layouts, restructured for ~3x fewer VPU ops:
+
+    - Cholesky runs IN PLACE in the `L_ref` VMEM scratch with statically
+      sliced shrinking-block updates (the one-hot full-array rewrites in
+      `_fused_core` touch all NVP x NVP rows 4x per column).
+    - The triangular solve L^-1 J^T keeps its NV row-blocks as SSA values
+      and only updates rows k+1..NV-1 at step k (static Python slices).
+    - APGD runs in FACTOR FORM: the (ROWS, ROWS, 128) Delassus matrix
+      A = B^T B is never built (the single largest cost of `_fused_core`,
+      and 2 MB of live values per tile); matvecs are B^T (B y), and the
+      step bound comes from the inf-norm of the small (NV, NV) Gram matrix
+      G = B B^T — a guaranteed upper bound on lambda_max (same spectrum as
+      A) that is typically TIGHTER than the inf-norm of the 64x64 A, so
+      convergence at fixed iteration count is as good or better.
+
+    L_ref must be a (NVP, NVP, ENV_TILE) f32 VMEM ref (scratch). After the
+    call it holds the Cholesky factor in its lower triangle (upper triangle
+    carries downdate residue — never read). Returns (qvel_new, lam) exactly
+    like `_fused_core`.
+    """
+    f32 = Mt.dtype
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (NVP, ENV_TILE), 0)
+    above = [jnp.where(vrow < k, 1.0, 0.0) for k in range(NV)]
+    onehot = [jnp.where(vrow == k, 1.0, 0.0) for k in range(NV)]
+
+    # ---- in-place right-looking Cholesky in the scratch ref ----
+    L_ref[...] = Mt
+    for k in range(NV):
+        d = jnp.sqrt(jnp.maximum(L_ref[k, k], 1e-12))  # (128,)
+        L_ref[k, k] = d
+        if k + 1 < NV:
+            col = L_ref[k + 1 : NV, k] / d[None, :]  # (NV-1-k, 128)
+            L_ref[k + 1 : NV, k] = col
+            L_ref[k + 1 : NV, k + 1 : NV] = (
+                L_ref[k + 1 : NV, k + 1 : NV]
+                - col[:, None, :] * col[None, :, :]
+            )
+    Lv = L_ref[...]  # (NVP, NVP, 128) value; lower triangle + diag valid
+    Ldiag = [Lv[k, k] for k in range(NV)]  # (128,) each
+
+    def solve_lower_vec(b):  # L x = b, b (NVP, 128) value
+        x = b
+        for k in range(NV):
+            xk = x[k] / Ldiag[k]
+            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None, :]
+            # x[i] -= L[i, k] xk for i > k; col k above diag is residue, so
+            # mask to strictly-below rows
+            x = x - (1.0 - above[k] - onehot[k]) * (Lv[:, k, :] * xk[None, :])
+        return x
+
+    def solve_upper(b):  # L^T x = b
+        x = b
+        for k in reversed(range(NV)):
+            xk = x[k] / Ldiag[k]
+            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None, :]
+            x = x - above[k] * (Lv[k] * xk[None, :])
+        return x
+
+    # ---- v_free = qvel + Mtilde^-1 rhs ----
+    v_free = qvel + solve_upper(solve_lower_vec(rhs))
+
+    # ---- B = L^-1 J^T (sign-folded) as NV row-block values ----
+    rows = [Jt[k] for k in range(NV)]  # (ROWS, 128) each
+    for k in range(NV):
+        xk = rows[k] / Ldiag[k][None, :]
+        rows[k] = xk
+        for i in range(k + 1, NV):
+            rows[i] = rows[i] - Lv[i, k][None, :] * xk
+    rows = [rk * sign for rk in rows]
+
+    # u0 = J v_free (sign-folded); padded J columns (v >= NV) are zero
+    u0 = jnp.zeros((ROWS, ENV_TILE), f32)
+    for k in range(NV):
+        u0 = u0 + Jt[k] * v_free[k][None, :]
+    u0 = u0 * sign
+    r = u0 - target
+
+    # ---- step bound: ||G||_inf >= lambda_max(G) = lambda_max(B^T B) ----
+    Bv = jnp.stack(rows)  # (NV, ROWS, 128)
+    absG_rowsum = None
+    for v in range(NV):
+        Gv = jnp.sum(Bv * rows[v][None, :, :], axis=1)  # (NV, 128)
+        s_ = jnp.sum(jnp.abs(Gv), axis=0)  # (128,)
+        absG_rowsum = s_ if absG_rowsum is None else jnp.maximum(absG_rowsum, s_)
+
+    if compliance is not None:
+        # CFM regularizer reg*I on live rows; diag(A)_r = sum_v B[v,r]^2
+        dA = jnp.sum(Bv * Bv, axis=0)  # (ROWS, 128)
+        nlive = jnp.maximum(jnp.sum(valid, axis=0), 1.0)
+        reg = compliance * jnp.sum(dA * valid, axis=0) / nlive  # (128,)
+        absG_rowsum = absG_rowsum + reg
+    L_apgd = jnp.maximum(absG_rowsum, 1e-6)
+    step = 1.0 / L_apgd  # (128,)
+
+    nc3 = 3 * N_POINTS
+
+    def project(x):
+        blocks = x[:nc3].reshape(N_POINTS, 3, ENV_TILE)
+        tx, ty, n = blocks[:, 0], blocks[:, 1], blocks[:, 2]
+        nt = jnp.sqrt(tx * tx + ty * ty + 1e-24)
+        inside = nt <= mu * n
+        polar = mu * nt <= -n
+        n_p = jnp.maximum((mu * nt + n) / (1.0 + mu * mu), 0.0)
+        scale = mu * n_p / nt
+        keep = inside.astype(f32)
+        mid = (1.0 - keep) * (1.0 - polar.astype(f32))
+        cone = jnp.stack(
+            [keep * tx + mid * tx * scale, keep * ty + mid * ty * scale,
+             keep * n + mid * n_p], axis=1
+        ).reshape(nc3, ENV_TILE)
+        rest = jnp.maximum(x[nc3:], 0.0)
+        return jnp.concatenate([cone, rest], axis=0) * valid
+
+    def matvec(y):  # A y = B^T (B y) (+ reg y on live rows)
+        g = jnp.sum(Bv * jnp.sum(Bv * y[None, :, :], axis=1)[:, None, :], axis=0)
+        if compliance is not None:
+            g = g + reg[None, :] * (y * valid)
+        return g
+
+    def body(_, carry):
+        lam, y, theta = carry
+        g = matvec(y) + r
+        lam_new = project(y - step[None, :] * g)
+        d = lam_new - lam
+        restart = jnp.sum(g * d, axis=0, keepdims=True) > 0.0
+        theta = jnp.where(restart, 1.0, theta)
+        theta_new = 0.5 * (theta * jnp.sqrt(theta * theta + 4.0) - theta * theta)
+        beta = theta * (1.0 - theta) / (theta * theta + theta_new)
+        beta = jnp.where(restart, 0.0, beta)
+        return lam_new, lam_new + beta * d, theta_new
+
+    zero = jnp.zeros((ROWS, ENV_TILE), f32)
+    ones = jnp.ones((1, ENV_TILE), f32)
+    lam, _, _ = jax.lax.fori_loop(0, iterations, body, (zero, zero, ones))
+
+    # ---- qvel_new = v_free + L^-T (B lam) ----
+    y1_rows = [jnp.sum(rk * lam, axis=0) for rk in rows]  # (128,) each
+    y1_rows += [jnp.zeros((ENV_TILE,), f32)] * (NVP - NV)
+    dv = solve_upper(jnp.stack(y1_rows))
+    return v_free + dv, lam * sign
 
 
 def _fused_kernel(
@@ -507,9 +669,15 @@ def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
         B = solve_lower_unrolled(L, J.T)
         A = B.T @ B
         nrow_ = A.shape[0]
-        A = A + compliance * (jnp.trace(A) / nrow_) * jnp.eye(nrow_, dtype=A.dtype)
+        reg = compliance * (jnp.trace(A) / nrow_)
+        A = A + reg * jnp.eye(nrow_, dtype=A.dtype)
         u0 = J @ v_free
-        lam = apgd_solve(A, u0, N_POINTS, lo, sign, lb, mu, iterations)
+        G = B @ B.T
+        step_bound = jnp.max(jnp.sum(jnp.abs(G), axis=-1)) + reg
+        lam = apgd_solve(
+            A, u0, N_POINTS, lo, sign, lb, mu, iterations,
+            step_bound=step_bound,
+        )
         qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
         return qvel_new, lam
 

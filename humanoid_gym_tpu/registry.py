@@ -102,6 +102,21 @@ def _register_builtin():
 
     register("humanoid_ppo_robust", robust, robust_ppo)
 
+    def terrain_robust():  # production config: terrain curriculum + the
+        # contact-model DR transfer recipe (docs/ROUND2.md) together
+        cfg = terrain()
+        cfg.domain_rand.randomize_contact_stiffness = True
+        cfg.domain_rand.randomize_contact_offset = True
+        cfg.domain_rand.randomize_contact_compliance = True
+        return cfg
+
+    def terrain_robust_ppo():
+        cfg = XBotLCfgPPO()
+        cfg.runner.experiment_name = "XBot_ppo_terrain_robust"
+        return cfg
+
+    register("humanoid_ppo_terrain_robust", terrain_robust, terrain_robust_ppo)
+
     from .config.xbots import XBotSCfg, XBotSCfgPPO
 
     register("humanoid_s_ppo", XBotSCfg, XBotSCfgPPO)
