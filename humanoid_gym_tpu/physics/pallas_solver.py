@@ -339,15 +339,16 @@ def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations, complian
 
     # ---- APGD step bound: ||G||_inf on the small Gram G = B B^T (same
     # spectrum as Ac, tighter than ||Ac||_inf; shared with every APGD path
-    # so the solver-equivalence contract holds) ----
+    # so the solver-equivalence contract holds). keepdims: see
+    # _fused_core_opt on the Mosaic sublane-relayout rule. ----
     absG_rowsum = None
     for v in range(NV):
-        Gv = jnp.sum(B * B[v][None, :, :], axis=1)  # (NVP, 128)
-        s_ = jnp.sum(jnp.abs(Gv), axis=0)  # (128,)
+        Gv = jnp.sum(B * B[v][None, :, :], axis=1, keepdims=True)
+        s_ = jnp.sum(jnp.abs(Gv), axis=0)  # (1, 128)
         absG_rowsum = s_ if absG_rowsum is None else jnp.maximum(absG_rowsum, s_)
     if compliance is not None:
-        absG_rowsum = absG_rowsum + reg
-    L_apgd = jnp.maximum(absG_rowsum, 1e-6)
+        absG_rowsum = absG_rowsum + reg[None, :]
+    L_apgd = jnp.maximum(absG_rowsum[0], 1e-6)
     step = 1.0 / L_apgd  # (128,)
 
     nc3 = 3 * N_POINTS
@@ -474,21 +475,29 @@ def _fused_core_opt(
     r = u0 - target
 
     # ---- step bound: ||G||_inf >= lambda_max(G) = lambda_max(B^T B) ----
-    Bv = jnp.stack(rows)  # (NV, ROWS, 128)
-    absG_rowsum = None
+    # Mosaic layout rule observed on this toolchain: reducing the SUBLANE
+    # axis of a rank-3 value and materializing the outer dim as the new
+    # sublane dim ("vector<24x128>" relayout from a replicated layout) does
+    # not lower. Keep every such reduction in keepdims form — the
+    # (NVP, 1, 128) result stays sublane-replicated and broadcasts straight
+    # into the next product with no relayout. Rank-2 (ROWS,128)->(128,)
+    # reductions are fine (proven in the production kernel).
+    zrow = jnp.zeros((ROWS, ENV_TILE), f32)
+    Bv = jnp.stack(rows + [zrow] * (NVP - NV))  # (NVP, ROWS, 128)
+    absG_rowsum = None  # (1, 128)
     for v in range(NV):
-        Gv = jnp.sum(Bv * rows[v][None, :, :], axis=1)  # (NV, 128)
-        s_ = jnp.sum(jnp.abs(Gv), axis=0)  # (128,)
+        Gv = jnp.sum(Bv * rows[v][None, :, :], axis=1, keepdims=True)
+        s_ = jnp.sum(jnp.abs(Gv), axis=0)  # (1, 128)
         absG_rowsum = s_ if absG_rowsum is None else jnp.maximum(absG_rowsum, s_)
 
     if compliance is not None:
         # CFM regularizer reg*I on live rows; diag(A)_r = sum_v B[v,r]^2
         dA = jnp.sum(Bv * Bv, axis=0)  # (ROWS, 128)
         nlive = jnp.maximum(jnp.sum(valid, axis=0), 1.0)
-        reg = compliance * jnp.sum(dA * valid, axis=0) / nlive  # (128,)
+        reg = (compliance * jnp.sum(dA * valid, axis=0) / nlive)[None, :]
         absG_rowsum = absG_rowsum + reg
     L_apgd = jnp.maximum(absG_rowsum, 1e-6)
-    step = 1.0 / L_apgd  # (128,)
+    step = 1.0 / L_apgd  # (1, 128)
 
     nc3 = 3 * N_POINTS
 
@@ -510,15 +519,16 @@ def _fused_core_opt(
         return jnp.concatenate([cone, rest], axis=0) * valid
 
     def matvec(y):  # A y = B^T (B y) (+ reg y on live rows)
-        g = jnp.sum(Bv * jnp.sum(Bv * y[None, :, :], axis=1)[:, None, :], axis=0)
+        t = jnp.sum(Bv * y[None, :, :], axis=1, keepdims=True)  # (NVP,1,128)
+        g = jnp.sum(Bv * t, axis=0)  # (ROWS, 128)
         if compliance is not None:
-            g = g + reg[None, :] * (y * valid)
+            g = g + reg * (y * valid)
         return g
 
     def body(_, carry):
         lam, y, theta = carry
         g = matvec(y) + r
-        lam_new = project(y - step[None, :] * g)
+        lam_new = project(y - step * g)
         d = lam_new - lam
         restart = jnp.sum(g * d, axis=0, keepdims=True) > 0.0
         theta = jnp.where(restart, 1.0, theta)
