@@ -63,6 +63,10 @@ class TerrainCfg:
     num_cols: int = 20
     terrain_proportions: List[float] = _f(lambda: [0.1, 0.1, 0.35, 0.25, 0.2])
     slope_treshold: float = 0.75  # (sic — reference spelling)
+    # EXTENSION (no reference field): terrain menu style — "humanoid"
+    # (reference HumanoidTerrain menu), "legged" (base Terrain menu), or
+    # "rubble" (deployment-matched coarse unevenness; terrain.py:_rubble_menu)
+    style: str = "humanoid"
 
 
 @dataclass

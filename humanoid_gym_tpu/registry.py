@@ -117,6 +117,28 @@ def _register_builtin():
 
     register("humanoid_ppo_terrain_robust", terrain_robust, terrain_robust_ppo)
 
+    def rubble():  # deployment-matched coarse unevenness + contact DR:
+        # trains the balance/footing family the MuJoCo sim2sim terrain
+        # (uneven.png, 1 m cells up to 0.35 m) actually demands — the
+        # reference humanoid menu tops out at +-0.07 m roughness and its
+        # graduates fall on that hfield (docs/ROUND2.md).
+        cfg = XBotLCfg()
+        cfg.terrain.mesh_type = "trimesh"
+        cfg.terrain.curriculum = True
+        cfg.terrain.style = "rubble"
+        cfg.terrain.terrain_proportions = [0.3]  # 30% gentle, 70% rubble
+        cfg.domain_rand.randomize_contact_stiffness = True
+        cfg.domain_rand.randomize_contact_offset = True
+        cfg.domain_rand.randomize_contact_compliance = True
+        return cfg
+
+    def rubble_ppo():
+        cfg = XBotLCfgPPO()
+        cfg.runner.experiment_name = "XBot_ppo_rubble"
+        return cfg
+
+    register("humanoid_ppo_rubble", rubble, rubble_ppo)
+
     from .config.xbots import XBotSCfg, XBotSCfgPPO
 
     register("humanoid_s_ppo", XBotSCfg, XBotSCfgPPO)

@@ -42,6 +42,7 @@ class TerrainMap:
     def build(cfg, rng: np.random.Generator | None = None, style: str = "humanoid") -> "TerrainMap":
         """cfg: config.base.TerrainCfg."""
         rng = rng or np.random.default_rng(0)
+        style = getattr(cfg, "style", style) or style
         w_px = int(cfg.terrain_width / cfg.horizontal_scale)
         l_px = int(cfg.terrain_length / cfg.horizontal_scale)
         border = int(cfg.border_size / cfg.horizontal_scale)
@@ -65,6 +66,8 @@ class TerrainMap:
                 g = P.SubGrid(l_px, w_px, cfg.horizontal_scale, cfg.vertical_scale)
                 if style == "humanoid":
                     _humanoid_menu(g, rng, choice, difficulty, proportions)
+                elif style == "rubble":
+                    _rubble_menu(g, rng, choice, difficulty, proportions)
                 else:
                     _legged_menu(g, rng, choice, difficulty, proportions)
                 x0 = border + i * l_px
@@ -122,6 +125,26 @@ def _legged_menu(g, rng, choice, difficulty, prop):
         P.gap(g, gap_size=gap_size, platform_size=3.0)
     else:
         P.pit(g, depth=pit_depth, platform_size=4.0)
+
+
+def _rubble_menu(g, rng, choice, difficulty, prop):
+    """Deployment-matched coarse unevenness (EXTENSION, no reference
+    analog): the MuJoCo sim2sim terrain (uneven.png hfield,
+    XBot-L-terrain.xml) is a 1 m grid of random heights in [0, 0.35] m,
+    triangulated into random ~20-35 deg ramps — far beyond the reference
+    humanoid menu's +-0.07 m roughness. This menu trains directly on that
+    family: coarse random cells whose amplitude grows with curriculum
+    difficulty, plus a slice of the gentle humanoid roughness so the
+    baseline gait keeps training. prop[0] of the columns stay gentle;
+    the rest are rubble."""
+    if choice < prop[0]:
+        r_height = difficulty * 0.07
+        P.random_uniform(g, rng, -r_height, r_height, step=0.005,
+                         downsampled_scale=0.2)
+    else:
+        max_h = 0.05 + 0.30 * difficulty  # level 9/10 ~ deployment's 0.35
+        P.random_uniform(g, rng, 0.0, max_h, step=0.01,
+                         downsampled_scale=1.0)
 
 
 def _humanoid_menu(g, rng, choice, difficulty, prop):

@@ -68,3 +68,32 @@ def test_primitives_bounds():
     g4 = P.SubGrid(80, 80, 0.1, 0.005)
     P.pit(g4, depth=0.5, platform_size=2.0)
     assert g4.hf.min() == -100  # 0.5 m / 0.005
+
+
+def test_rubble_style():
+    """Deployment-matched rubble menu (EXTENSION): difficulty-ramped coarse
+    unevenness approaching the MuJoCo uneven.png hfield's 0.35 m cells;
+    curriculum rows get monotonically rougher; origins sit on the terrain."""
+    from humanoid_gym_tpu.config.base import TerrainCfg
+    from humanoid_gym_tpu.terrain.terrain import TerrainMap
+
+    cfg = TerrainCfg()
+    cfg.style = "rubble"
+    cfg.curriculum = True
+    cfg.terrain_proportions = [0.3]
+    cfg.num_rows = 10
+    cfg.num_cols = 6
+    cfg.border_size = 5.0
+    tmap = TerrainMap.build(cfg, np.random.default_rng(0))
+    hf = tmap.height_field * cfg.vertical_scale
+    assert 0.25 < hf.max() <= 0.36, hf.max()
+    l_px = int(cfg.terrain_length / cfg.horizontal_scale)
+    b = int(cfg.border_size / cfg.horizontal_scale)
+    p99 = [
+        np.quantile(hf[b + i * l_px : b + (i + 1) * l_px, b:-b], 0.99)
+        for i in range(cfg.num_rows)
+    ]
+    assert p99[9] > p99[4] > p99[0], p99  # rows get rougher with level
+    # origins: z equals the max of the central 2x2 m patch (spawn safe)
+    oz = tmap.env_origins[9, :, 2]
+    assert np.all(oz >= 0.0) and oz.max() > 0.05
