@@ -1,0 +1,97 @@
+"""Evaluate checkpoints on the MuJoCo uneven-terrain hfield.
+
+The flat-ground robustness curve (`scripts/robustness_curve.py`, native
+farm) measures engine transfer; this measures FOOTING transfer on the
+deployment terrain (XBot-L-terrain.xml / uneven.png: 1 m cells up to
+0.35 m — reference sim2sim.py:170-183). Python/MuJoCo loop (the native
+farm is flat-plane only), so use --stride to subsample checkpoints.
+
+Usage:
+  python scripts/eval_hfield.py --run_dir logs/.../<run> \
+      [--rollouts 4] [--duration 10] [--stride 5] [--ckpt N]
+
+Writes hfield_curve.jsonl into the run dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+from humanoid_gym_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+TERRAIN_MJCF = "/root/reference/resources/robots/XBot/mjcf/XBot-L-terrain.xml"
+
+
+def eval_ckpt(ckpt_path: str, rollouts: int, duration: float):
+    import numpy as np
+
+    from humanoid_gym_tpu.export.policy_export import load_policy
+    from humanoid_gym_tpu.export.sim2sim import Sim2SimCfg, run_mujoco
+    from scripts.robustness_curve import export_ckpt
+
+    d = os.path.join("/tmp", "hgt_hfield_eval")
+    os.makedirs(d, exist_ok=True)
+    export_ckpt(ckpt_path, d)
+    policy = load_policy(os.path.join(d, "policy.npz"))
+    survived, dists = 0, []
+    for r in range(rollouts):
+        # vary the push of randomness via command direction sign each rollout
+        cfg = Sim2SimCfg(
+            mujoco_model_path=TERRAIN_MJCF, sim_duration=duration,
+            cmd_vx=0.4 if r % 2 == 0 else 0.2,
+        )
+        out = run_mujoco(policy, cfg)
+        if out["fallen_at_s"] is None:
+            survived += 1
+        dists.append(out["distance_x"])
+    return {
+        "survived": survived,
+        "rollouts": rollouts,
+        "mean_distance_x": round(float(np.mean(dists)), 3),
+        "duration_s": duration,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--rollouts", type=int, default=4)
+    p.add_argument("--duration", type=float, default=10.0)
+    p.add_argument("--stride", type=int, default=5)
+    p.add_argument("--ckpt", type=int, default=None, help="single checkpoint")
+    args = p.parse_args()
+
+    ckpts = sorted(
+        (int(re.search(r"model_(\d+)\.ckpt", f).group(1)), f)
+        for f in glob.glob(os.path.join(args.run_dir, "model_*.ckpt"))
+    )
+    if args.ckpt is not None:
+        ckpts = [(n, f) for n, f in ckpts if n == args.ckpt]
+    else:
+        ckpts = ckpts[:: args.stride] + ([ckpts[-1]] if ckpts else [])
+
+    out_path = os.path.join(args.run_dir, "hfield_curve.jsonl")
+    seen = set()
+    with open(out_path, "a") as fh:
+        for n, f in ckpts:
+            if n in seen:
+                continue
+            seen.add(n)
+            res = {"ckpt": n, **eval_ckpt(f, args.rollouts, args.duration)}
+            fh.write(json.dumps(res) + "\n")
+            fh.flush()
+            print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
