@@ -67,6 +67,9 @@ class TerrainCfg:
     # (reference HumanoidTerrain menu), "legged" (base Terrain menu), or
     # "rubble" (deployment-matched coarse unevenness; terrain.py:_rubble_menu)
     style: str = "humanoid"
+    # rubble-style amplitude ramp: cell height ~ U[0, base + span*difficulty]
+    rubble_base: float = 0.05
+    rubble_span: float = 0.30
 
 
 @dataclass

@@ -126,7 +126,18 @@ def _register_builtin():
         cfg.terrain.mesh_type = "trimesh"
         cfg.terrain.curriculum = True
         cfg.terrain.style = "rubble"
-        cfg.terrain.terrain_proportions = [0.3]  # 30% gentle, 70% rubble
+        cfg.terrain.terrain_proportions = [0.2]  # 20% gentle, 80% rubble
+        # climbable curriculum (v2 after the v1 run stalled at level ~1):
+        # the reference XBot terrain cfg's finer level ladder
+        # (humanoid_config.py:81-83: 20 rows, init spread 10) + a shorter
+        # promotion distance (terrain_length/2 = 2.5 m — the frozen
+        # update_terrain_curriculum formula, smaller patches), and an
+        # amplitude floor so even level-0 rubble envs see 8 cm cells.
+        cfg.terrain.num_rows = 20
+        cfg.terrain.max_init_terrain_level = 10
+        cfg.terrain.terrain_length = 5.0
+        cfg.terrain.rubble_base = 0.08
+        cfg.terrain.rubble_span = 0.27
         cfg.domain_rand.randomize_contact_stiffness = True
         cfg.domain_rand.randomize_contact_offset = True
         cfg.domain_rand.randomize_contact_compliance = True

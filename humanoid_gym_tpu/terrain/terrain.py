@@ -67,7 +67,11 @@ class TerrainMap:
                 if style == "humanoid":
                     _humanoid_menu(g, rng, choice, difficulty, proportions)
                 elif style == "rubble":
-                    _rubble_menu(g, rng, choice, difficulty, proportions)
+                    _rubble_menu(
+                        g, rng, choice, difficulty, proportions,
+                        base=getattr(cfg, "rubble_base", 0.05),
+                        span=getattr(cfg, "rubble_span", 0.30),
+                    )
                 else:
                     _legged_menu(g, rng, choice, difficulty, proportions)
                 x0 = border + i * l_px
@@ -127,7 +131,7 @@ def _legged_menu(g, rng, choice, difficulty, prop):
         P.pit(g, depth=pit_depth, platform_size=4.0)
 
 
-def _rubble_menu(g, rng, choice, difficulty, prop):
+def _rubble_menu(g, rng, choice, difficulty, prop, base=0.05, span=0.30):
     """Deployment-matched coarse unevenness (EXTENSION, no reference
     analog): the MuJoCo sim2sim terrain (uneven.png hfield,
     XBot-L-terrain.xml) is a 1 m grid of random heights in [0, 0.35] m,
@@ -142,7 +146,7 @@ def _rubble_menu(g, rng, choice, difficulty, prop):
         P.random_uniform(g, rng, -r_height, r_height, step=0.005,
                          downsampled_scale=0.2)
     else:
-        max_h = 0.05 + 0.30 * difficulty  # level 9/10 ~ deployment's 0.35
+        max_h = base + span * difficulty  # top level ~ deployment's 0.35
         P.random_uniform(g, rng, 0.0, max_h, step=0.01,
                          downsampled_scale=1.0)
 
