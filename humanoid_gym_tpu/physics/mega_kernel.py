@@ -33,6 +33,7 @@ decimation loop (reference legged_robot.py:94-102, humanoid_config.py:131-147).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -44,6 +45,18 @@ from .model import RobotModel
 from .pallas_solver import (
     ENV_TILE, N_POINTS, NV, NVP, ROWS, _fused_core_opt,
 )
+
+# Sublane-env tiling: with HGT_MEGA_SUB = S > 1, each kernel tile carries
+# S*128 environments laid out (S, 128) = (sublane, lane), so every
+# per-env "scalar" op in the FK/CRBA/contact machinery fills S of the 8
+# VPU sublanes instead of 1 — S x fewer issue slots on the scalar stage
+# that dominates the kernel (docs/PERFORMANCE.md round-2 census: 10.5k of
+# 13.2k eqns per substep are lane-scalars). VMEM per tile scales with S
+# (~3.3 MB at S=1); S=4 is the practical ceiling on a 16 MB-VMEM core.
+_SUB = max(1, int(os.environ.get("HGT_MEGA_SUB", "1")))
+TILE_ENVS = _SUB * 128
+# lane shape appended to every row dimension: rank-preserving at S=1
+LS = (ENV_TILE,) if _SUB == 1 else (_SUB, 128)
 
 # input/output row layouts (env-lane-major tiles)
 NQ = 19
@@ -211,9 +224,9 @@ def sym_vec(S, v):
 def _materialize(x, dtype=jnp.float32):
     """Symbolic scalar -> concrete (ENV_TILE,) array for stores."""
     if x is None:
-        return jnp.zeros((ENV_TILE,), dtype)
+        return jnp.zeros(LS, dtype)
     if _is_const(x):
-        return jnp.full((ENV_TILE,), float(x), dtype)
+        return jnp.full(LS, float(x), dtype)
     return x
 
 
@@ -313,24 +326,24 @@ def _build_mega_kernel(
 
         # scratch init (static patterns built from iotas — Mosaic-safe)
         f32 = jnp.float32
-        mr = jax.lax.broadcasted_iota(jnp.int32, (NVP, NVP, ENV_TILE), 0)
-        mc = jax.lax.broadcasted_iota(jnp.int32, (NVP, NVP, ENV_TILE), 1)
+        mr = jax.lax.broadcasted_iota(jnp.int32, (NVP, NVP) + LS, 0)
+        mc = jax.lax.broadcasted_iota(jnp.int32, (NVP, NVP) + LS, 1)
         # padded Mtilde diagonal carries identity
         Mt_s[...] = jnp.where((mr == mc) & (mr >= NV), 1.0, 0.0).astype(f32)
-        jv = jax.lax.broadcasted_iota(jnp.int32, (NVP, ROWS, ENV_TILE), 0)
-        jr = jax.lax.broadcasted_iota(jnp.int32, (NVP, ROWS, ENV_TILE), 1)
+        jv = jax.lax.broadcasted_iota(jnp.int32, (NVP, ROWS) + LS, 0)
+        jr = jax.lax.broadcasted_iota(jnp.int32, (NVP, ROWS) + LS, 1)
         # base-translation columns of every contact row + limit identity rows
         base_tr = (jv < 3) & (jr < _NC3) & (jr - (jr // 3) * 3 == jv)
         lim_id = (jv >= 6) & (jv < 6 + nj) & (jr == jv + (_NC3 - 6))
         Jt_s[...] = jnp.where(base_tr | lim_id, 1.0, 0.0).astype(f32)
-        tgt_s[...] = jnp.zeros((ROWS, ENV_TILE), f32)
-        sign_s[...] = jnp.ones((ROWS, ENV_TILE), f32)
+        tgt_s[...] = jnp.zeros((ROWS,) + LS, f32)
+        sign_s[...] = jnp.ones((ROWS,) + LS, f32)
         st_s[...] = jnp.concatenate(
-            [inp[:IN_TGT], jnp.zeros((OUT_ROWS - IN_TGT, ENV_TILE), f32)],
+            [inp[:IN_TGT], jnp.zeros((OUT_ROWS - IN_TGT,) + LS, f32)],
             axis=0,
         )
 
-        rr = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ENV_TILE), 0)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (ROWS,) + LS, 0)
         valid = (rr < (_NC3 + nj)).astype(f32)
 
         def substep(_, carry):
@@ -631,12 +644,12 @@ def _build_mega_kernel(
                     _materialize(_mul(dt, _add(tau[j], tf, _neg(h[6 + j]))))
                 )
             for _pad in range(NVP - NV):
-                rhs_rows.append(jnp.zeros((ENV_TILE,), jnp.float32))
+                rhs_rows.append(jnp.zeros(LS, jnp.float32))
             rhs_t = jnp.stack(rhs_rows)
 
             # ---- fused solve on tiles ----
             qvel_t = jnp.concatenate(
-                [st[19:37], jnp.zeros((NVP - NV, ENV_TILE), jnp.float32)], axis=0
+                [st[19:37], jnp.zeros((NVP - NV,) + LS, jnp.float32)], axis=0
             )
             qvel_new, lam = _fused_core_opt(
                 L_s, Mt_s[...], Jt_s[...], qvel_t, rhs_t,
@@ -678,7 +691,7 @@ def _build_mega_kernel(
             new_rows += vj
             st_new = jnp.concatenate(
                 [jnp.stack(new_rows), lam[:60], jnp.stack(tau),
-                 jnp.zeros((OUT_ROWS - OUT_TAU - nj, ENV_TILE), jnp.float32)],
+                 jnp.zeros((OUT_ROWS - OUT_TAU - nj,) + LS, jnp.float32)],
                 axis=0,
             )
             st_s[...] = st_new
@@ -715,45 +728,55 @@ def _mega_call(
         lim_baumgarte=0.2, lim_max_depen=2.0, lim_margin=0.05,
         terrain=terrain,
     )
-    n_pad = (-N) % ENV_TILE
+    n_pad = (-N) % TILE_ENVS
     Np = N + n_pad
-    T = Np // ENV_TILE
+    T = Np // TILE_ENVS
     xp = jnp.pad(packed, ((0, n_pad), (0, IN_ROWS - packed.shape[1])))
     # keep padded envs' quaternions unit so FK math stays finite
     if n_pad:
         xp = xp.at[N:, 3].set(1.0)
-    tiles = jnp.moveaxis(xp.reshape(T, ENV_TILE, IN_ROWS), 1, -1)
+
+    def to_tiles(x, rows):
+        # (Np, rows) -> (T, rows) + LS   [env axis onto (sublane,) lanes]
+        if _SUB == 1:
+            return jnp.moveaxis(x.reshape(T, ENV_TILE, rows), 1, -1)
+        return jnp.transpose(
+            x.reshape(T, _SUB, 128, rows), (0, 3, 1, 2)
+        )
+
+    tiles = to_tiles(xp, IN_ROWS)
 
     spec_in = lambda rows: pl.BlockSpec(
-        (1, rows, ENV_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, rows) + LS,
+        (lambda i: (i, 0, 0)) if _SUB == 1 else (lambda i: (i, 0, 0, 0)),
+        memory_space=pltpu.VMEM,
     )
     in_specs = [spec_in(IN_ROWS)]
     args = [tiles]
     if terrain is not None:
         xp2 = jnp.pad(packed2, ((0, n_pad), (0, IN2_ROWS - packed2.shape[1])))
-        args.append(jnp.moveaxis(xp2.reshape(T, ENV_TILE, IN2_ROWS), 1, -1))
+        args.append(to_tiles(xp2, IN2_ROWS))
         in_specs.append(spec_in(IN2_ROWS))
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, ENV_TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS) + LS, jnp.float32),
         grid=(T,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, ENV_TILE), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=spec_in(OUT_ROWS),
         scratch_shapes=[
-            pltpu.VMEM((NVP, NVP, ENV_TILE), jnp.float32),  # Mt
-            pltpu.VMEM((NVP, ROWS, ENV_TILE), jnp.float32),  # Jt
-            pltpu.VMEM((ROWS, ENV_TILE), jnp.float32),  # target
-            pltpu.VMEM((ROWS, ENV_TILE), jnp.float32),  # sign
-            pltpu.VMEM((OUT_ROWS, ENV_TILE), jnp.float32),  # state
-            pltpu.VMEM((NVP, NVP, ENV_TILE), jnp.float32),  # Cholesky L
+            pltpu.VMEM((NVP, NVP) + LS, jnp.float32),  # Mt
+            pltpu.VMEM((NVP, ROWS) + LS, jnp.float32),  # Jt
+            pltpu.VMEM((ROWS,) + LS, jnp.float32),  # target
+            pltpu.VMEM((ROWS,) + LS, jnp.float32),  # sign
+            pltpu.VMEM((OUT_ROWS,) + LS, jnp.float32),  # state
+            pltpu.VMEM((NVP, NVP) + LS, jnp.float32),  # Cholesky L
         ],
         interpret=interpret,
     )(*args)
-    return jnp.moveaxis(out, -1, 1).reshape(Np, OUT_ROWS)[:N]
+    if _SUB == 1:
+        return jnp.moveaxis(out, -1, 1).reshape(Np, OUT_ROWS)[:N]
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(Np, OUT_ROWS)[:N]
 
 
 def make_mega_step_batched(

@@ -412,65 +412,72 @@ def _fused_core_opt(
       A) that is typically TIGHTER than the inf-norm of the 64x64 A, so
       convergence at fixed iteration count is as good or better.
 
-    L_ref must be a (NVP, NVP, ENV_TILE) f32 VMEM ref (scratch). After the
-    call it holds the Cholesky factor in its lower triangle (upper triangle
-    carries downdate residue — never read). Returns (qvel_new, lam) exactly
-    like `_fused_core`.
+    L_ref must be a (NVP, NVP) + lane-shape f32 VMEM ref (scratch). After
+    the call it holds the Cholesky factor in its lower triangle (upper
+    triangle carries downdate residue — never read). Returns
+    (qvel_new, lam) exactly like `_fused_core`.
+
+    Lane shape: every operand carries the env axis as its trailing
+    dimensions — (128,) for the classic lane-major tile, or (S, 128) for
+    sublane-env tiles (mega_kernel HGT_MEGA_SUB) where each per-env scalar
+    op fills S of the 8 VPU sublanes. The code below is rank-agnostic:
+    `ls = Mt.shape[2:]`.
     """
     f32 = Mt.dtype
-    vrow = jax.lax.broadcasted_iota(jnp.int32, (NVP, ENV_TILE), 0)
+    ls = tuple(Mt.shape[2:])  # (128,) or (S, 128)
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (NVP,) + ls, 0)
     above = [jnp.where(vrow < k, 1.0, 0.0) for k in range(NV)]
     onehot = [jnp.where(vrow == k, 1.0, 0.0) for k in range(NV)]
 
     # ---- in-place right-looking Cholesky in the scratch ref ----
     L_ref[...] = Mt
     for k in range(NV):
-        d = jnp.sqrt(jnp.maximum(L_ref[k, k], 1e-12))  # (128,)
+        d = jnp.sqrt(jnp.maximum(L_ref[k, k], 1e-12))  # ls
         L_ref[k, k] = d
         if k + 1 < NV:
-            col = L_ref[k + 1 : NV, k] / d[None, :]  # (NV-1-k, 128)
+            col = L_ref[k + 1 : NV, k] / d[None]  # (NV-1-k,) + ls
             L_ref[k + 1 : NV, k] = col
             L_ref[k + 1 : NV, k + 1 : NV] = (
                 L_ref[k + 1 : NV, k + 1 : NV]
-                - col[:, None, :] * col[None, :, :]
+                - col[:, None] * col[None]
             )
-    Lv = L_ref[...]  # (NVP, NVP, 128) value; lower triangle + diag valid
-    Ldiag = [Lv[k, k] for k in range(NV)]  # (128,) each
+    Lv = L_ref[...]  # (NVP, NVP) + ls; lower triangle + diag valid
+    Ldiag = [Lv[k, k] for k in range(NV)]  # ls each
 
-    def solve_lower_vec(b):  # L x = b, b (NVP, 128) value
+    def solve_lower_vec(b):  # L x = b, b (NVP,) + ls value
         x = b
         for k in range(NV):
             xk = x[k] / Ldiag[k]
-            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None, :]
+            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None]
             # x[i] -= L[i, k] xk for i > k; col k above diag is residue, so
             # mask to strictly-below rows
-            x = x - (1.0 - above[k] - onehot[k]) * (Lv[:, k, :] * xk[None, :])
+            x = x - (1.0 - above[k] - onehot[k]) * (Lv[:, k] * xk[None])
         return x
 
     def solve_upper(b):  # L^T x = b
         x = b
         for k in reversed(range(NV)):
             xk = x[k] / Ldiag[k]
-            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None, :]
-            x = x - above[k] * (Lv[k] * xk[None, :])
+            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None]
+            x = x - above[k] * (Lv[k] * xk[None])
         return x
 
     # ---- v_free = qvel + Mtilde^-1 rhs ----
     v_free = qvel + solve_upper(solve_lower_vec(rhs))
 
     # ---- B = L^-1 J^T (sign-folded) as NV row-block values ----
-    rows = [Jt[k] for k in range(NV)]  # (ROWS, 128) each
+    rows = [Jt[k] for k in range(NV)]  # (ROWS,) + ls each
     for k in range(NV):
-        xk = rows[k] / Ldiag[k][None, :]
+        xk = rows[k] / Ldiag[k][None]
         rows[k] = xk
         for i in range(k + 1, NV):
-            rows[i] = rows[i] - Lv[i, k][None, :] * xk
+            rows[i] = rows[i] - Lv[i, k][None] * xk
     rows = [rk * sign for rk in rows]
 
     # u0 = J v_free (sign-folded); padded J columns (v >= NV) are zero
-    u0 = jnp.zeros((ROWS, ENV_TILE), f32)
+    u0 = jnp.zeros((ROWS,) + ls, f32)
     for k in range(NV):
-        u0 = u0 + Jt[k] * v_free[k][None, :]
+        u0 = u0 + Jt[k] * v_free[k][None]
     u0 = u0 * sign
     r = u0 - target
 
@@ -479,30 +486,30 @@ def _fused_core_opt(
     # axis of a rank-3 value and materializing the outer dim as the new
     # sublane dim ("vector<24x128>" relayout from a replicated layout) does
     # not lower. Keep every such reduction in keepdims form — the
-    # (NVP, 1, 128) result stays sublane-replicated and broadcasts straight
-    # into the next product with no relayout. Rank-2 (ROWS,128)->(128,)
-    # reductions are fine (proven in the production kernel).
-    zrow = jnp.zeros((ROWS, ENV_TILE), f32)
-    Bv = jnp.stack(rows + [zrow] * (NVP - NV))  # (NVP, ROWS, 128)
-    absG_rowsum = None  # (1, 128)
+    # (NVP, 1, ...) result stays sublane-replicated and broadcasts straight
+    # into the next product with no relayout. (ROWS,)+ls -> ls reductions
+    # over axis 0 are fine (proven in the production kernel).
+    zrow = jnp.zeros((ROWS,) + ls, f32)
+    Bv = jnp.stack(rows + [zrow] * (NVP - NV))  # (NVP, ROWS) + ls
+    absG_rowsum = None  # (1,) + ls
     for v in range(NV):
-        Gv = jnp.sum(Bv * rows[v][None, :, :], axis=1, keepdims=True)
-        s_ = jnp.sum(jnp.abs(Gv), axis=0)  # (1, 128)
+        Gv = jnp.sum(Bv * rows[v][None], axis=1, keepdims=True)
+        s_ = jnp.sum(jnp.abs(Gv), axis=0)  # (1,) + ls
         absG_rowsum = s_ if absG_rowsum is None else jnp.maximum(absG_rowsum, s_)
 
     if compliance is not None:
         # CFM regularizer reg*I on live rows; diag(A)_r = sum_v B[v,r]^2
-        dA = jnp.sum(Bv * Bv, axis=0)  # (ROWS, 128)
+        dA = jnp.sum(Bv * Bv, axis=0)  # (ROWS,) + ls
         nlive = jnp.maximum(jnp.sum(valid, axis=0), 1.0)
-        reg = (compliance * jnp.sum(dA * valid, axis=0) / nlive)[None, :]
+        reg = (compliance * jnp.sum(dA * valid, axis=0) / nlive)[None]
         absG_rowsum = absG_rowsum + reg
     L_apgd = jnp.maximum(absG_rowsum, 1e-6)
-    step = 1.0 / L_apgd  # (1, 128)
+    step = 1.0 / L_apgd  # (1,) + ls
 
     nc3 = 3 * N_POINTS
 
     def project(x):
-        blocks = x[:nc3].reshape(N_POINTS, 3, ENV_TILE)
+        blocks = x[:nc3].reshape((N_POINTS, 3) + ls)
         tx, ty, n = blocks[:, 0], blocks[:, 1], blocks[:, 2]
         nt = jnp.sqrt(tx * tx + ty * ty + 1e-24)
         inside = nt <= mu * n
@@ -514,13 +521,13 @@ def _fused_core_opt(
         cone = jnp.stack(
             [keep * tx + mid * tx * scale, keep * ty + mid * ty * scale,
              keep * n + mid * n_p], axis=1
-        ).reshape(nc3, ENV_TILE)
+        ).reshape((nc3,) + ls)
         rest = jnp.maximum(x[nc3:], 0.0)
         return jnp.concatenate([cone, rest], axis=0) * valid
 
     def matvec(y):  # A y = B^T (B y) (+ reg y on live rows)
-        t = jnp.sum(Bv * y[None, :, :], axis=1, keepdims=True)  # (NVP,1,128)
-        g = jnp.sum(Bv * t, axis=0)  # (ROWS, 128)
+        t = jnp.sum(Bv * y[None], axis=1, keepdims=True)  # (NVP, 1) + ls
+        g = jnp.sum(Bv * t, axis=0)  # (ROWS,) + ls
         if compliance is not None:
             g = g + reg * (y * valid)
         return g
@@ -537,13 +544,13 @@ def _fused_core_opt(
         beta = jnp.where(restart, 0.0, beta)
         return lam_new, lam_new + beta * d, theta_new
 
-    zero = jnp.zeros((ROWS, ENV_TILE), f32)
-    ones = jnp.ones((1, ENV_TILE), f32)
+    zero = jnp.zeros((ROWS,) + ls, f32)
+    ones = jnp.ones((1,) + ls, f32)
     lam, _, _ = jax.lax.fori_loop(0, iterations, body, (zero, zero, ones))
 
     # ---- qvel_new = v_free + L^-T (B lam) ----
-    y1_rows = [jnp.sum(rk * lam, axis=0) for rk in rows]  # (128,) each
-    y1_rows += [jnp.zeros((ENV_TILE,), f32)] * (NVP - NV)
+    y1_rows = [jnp.sum(rk * lam, axis=0) for rk in rows]  # ls each
+    y1_rows += [jnp.zeros(ls, f32)] * (NVP - NV)
     dv = solve_upper(jnp.stack(y1_rows))
     return v_free + dv, lam * sign
 
