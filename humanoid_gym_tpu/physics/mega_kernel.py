@@ -52,7 +52,15 @@ from .pallas_solver import (
 # VPU sublanes instead of 1 — S x fewer issue slots on the scalar stage
 # that dominates the kernel (docs/PERFORMANCE.md round-2 census: 10.5k of
 # 13.2k eqns per substep are lane-scalars). VMEM per tile scales with S
-# (~3.3 MB at S=1); S=4 is the practical ceiling on a 16 MB-VMEM core.
+# (~3.3 MB of scratch at S=1, ~19 MB live at S=2 once the solve stage's
+# (NVP, NVP, S, 128) Cholesky scratch is counted).
+#
+# MEASURED (round 2, v5e, 4096 envs): S=2 compiles (with the raised
+# vmem_limit below) but runs ~2x SLOWER than S=1 (280k vs 569k env
+# steps/s) — past the 16 MB scoped budget Mosaic double-buffers through
+# HBM and the kernel becomes bandwidth-bound instead of issue-bound.
+# S=1 stays the default; the flag is kept for retuning on bigger-VMEM
+# parts (or after shrinking the solve-stage scratch).
 _SUB = max(1, int(os.environ.get("HGT_MEGA_SUB", "1")))
 TILE_ENVS = _SUB * 128
 # lane shape appended to every row dimension: rank-preserving at S=1
@@ -772,6 +780,12 @@ def _mega_call(
             pltpu.VMEM((OUT_ROWS,) + LS, jnp.float32),  # state
             pltpu.VMEM((NVP, NVP) + LS, jnp.float32),  # Cholesky L
         ],
+        # sublane-env tiles exceed the default 16 MB scoped-vmem budget at
+        # S>=2 (~19 MB live at S=2); raise the cap toward physical VMEM
+        compiler_params=(
+            None if _SUB == 1
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(*args)
     if _SUB == 1:
