@@ -266,7 +266,12 @@ class PhysxLikeSolverCfg:
     PhysX block, humanoid_config.py:135-147, re-expressed for the JAX engine)."""
 
     solver_type: str = "apgd"  # 'apgd' (batched, TPU-native) or 'pgs'
-    solver_iterations: int = 16  # solver iterations per physics step
+    # Solver iterations per 1 kHz substep. Every APGD path warm-starts from
+    # the previous substep's impulses (PhysicsState.contact_lam), which is
+    # worth >2x in iterations: measured single-step max|qvel| error vs a
+    # 300-iteration solve is 0.12 warm@8 vs 0.20 for the round-2 cold@16
+    # (tests/test_contact_solvers.py::test_warm_start_accuracy).
+    solver_iterations: int = 8
     substep_unroll: int = 1  # lax.scan unroll of the decimation loop
     contact_offset: float = 0.01  # [m] candidate activation margin
     stabilization_time: float = 0.02  # Baumgarte time constant [s]

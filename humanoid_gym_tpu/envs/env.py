@@ -402,6 +402,7 @@ class HumanoidEnv:
             kd_scale=kd_scale,
             contact_forces=jnp.zeros((m.nbody, 3)),
             torques=jnp.zeros(m.nj),
+            contact_lam=jnp.zeros(3 * m.ncon + m.nj),
         )
         quat = qpos[3:7]
         na, nj = self.num_actions, m.nj

@@ -60,6 +60,11 @@ class Sim2SimCfg:
     tau_limit: np.ndarray = field(
         default_factory=lambda: 200.0 * np.ones(12, np.float64)
     )
+    # spawn variation (EXTENSION; the reference always starts at the origin):
+    # shift the base xy and re-seat z on the local terrain height so repeated
+    # rollouts sample different footing (run_mujoco is otherwise fully
+    # deterministic — the MJCF 3.x shim strips sensornoise).
+    spawn_xy: tuple = (0.0, 0.0)
 
 
 def quaternion_to_euler_array(quat_xyzw: np.ndarray) -> np.ndarray:
@@ -112,6 +117,45 @@ def _load_mj_model(path: str):
         return mujoco.MjModel.from_xml_string(xml)
 
 
+def _hfield_height_at(model, x: float, y: float) -> float:
+    """Bilinear height of the terrain hfield at world (x, y); 0 on flat
+    models or outside the field. Used to re-seat a shifted spawn on the
+    terrain and to reference fall detection to the LOCAL ground. Resolves
+    the hfield through its geom (models can carry several hfields; the
+    walkable one is the one a geom instantiates)."""
+    import mujoco
+
+    if model.nhfield == 0:
+        return 0.0
+    gid = None
+    for g in range(model.ngeom):
+        if model.geom_type[g] == mujoco.mjtGeom.mjGEOM_HFIELD:
+            gid = g
+            break
+    if gid is None:
+        return 0.0
+    hid = int(model.geom_dataid[gid])
+    px, py = float(model.geom_pos[gid][0]), float(model.geom_pos[gid][1])
+    sx, sy, sz, _ = model.hfield_size[hid]
+    nr = int(model.hfield_nrow[hid])
+    nc = int(model.hfield_ncol[hid])
+    adr = int(model.hfield_adr[hid])
+    # grid coords: columns span x in [-sx, sx], rows span y in [-sy, sy]
+    gx = (x - px + sx) / (2 * sx) * (nc - 1)
+    gy = (y - py + sy) / (2 * sy) * (nr - 1)
+    if not (0 <= gx <= nc - 1 and 0 <= gy <= nr - 1):
+        return 0.0
+    h = np.asarray(model.hfield_data[adr : adr + nr * nc]).reshape(nr, nc)
+    x0, y0 = int(gx), int(gy)
+    x1, y1 = min(x0 + 1, nc - 1), min(y0 + 1, nr - 1)
+    fx, fy = gx - x0, gy - y0
+    v = (
+        h[y0, x0] * (1 - fx) * (1 - fy) + h[y0, x1] * fx * (1 - fy)
+        + h[y1, x0] * (1 - fx) * fy + h[y1, x1] * fx * fy
+    )
+    return float(v) * sz
+
+
 def run_mujoco(
     policy,
     cfg: Sim2SimCfg,
@@ -129,6 +173,11 @@ def run_mujoco(
     model = _load_mj_model(cfg.mujoco_model_path)
     model.opt.timestep = cfg.sim_dt
     data = mujoco.MjData(model)
+    if cfg.spawn_xy != (0.0, 0.0):
+        sx, sy = cfg.spawn_xy
+        data.qpos[0] += sx
+        data.qpos[1] += sy
+        data.qpos[2] += _hfield_height_at(model, sx, sy)
     mujoco.mj_step(model, data)
 
     renderer = None
@@ -202,7 +251,12 @@ def run_mujoco(
             vxs.append(float(data.qvel[0]))
             if record_states:
                 states.append(np.array(data.qpos))
-            if fallen_at is None and base_z < 0.3:
+            # fall = base below 0.3 m over the LOCAL terrain (absolute z is
+            # meaningless on the hfield, where mounds reach 0.35 m)
+            ground = _hfield_height_at(
+                model, float(data.xpos[1][0]), float(data.xpos[1][1])
+            )
+            if fallen_at is None and base_z - ground < 0.3:
                 fallen_at = step * cfg.sim_dt
 
     out = {

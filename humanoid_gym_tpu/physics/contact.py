@@ -123,6 +123,7 @@ def pgs_solve(
     limit_bound: jnp.ndarray,  # (nlim,)
     mu: jnp.ndarray,  # () friction coefficient
     iterations: int,
+    lam0: jnp.ndarray | None = None,  # (nrow,) warm start (physical signs)
 ) -> jnp.ndarray:
     """Projected Gauss-Seidel over 3D friction blocks + 1D limit rows.
 
@@ -176,8 +177,14 @@ def pgs_solve(
         carry = jax.lax.fori_loop(0, nlim, limit_row, carry)
         return carry
 
-    lam0 = jnp.zeros(nrow, A.dtype)
-    lam, _ = jax.lax.fori_loop(0, iterations, sweep, (lam0, u0))
+    if lam0 is None:
+        lam0 = jnp.zeros(nrow, A.dtype)
+        u_init = u0
+    else:
+        # warm start: residual velocity must include the carried impulses
+        lam0 = _project_cone(lam0, n_points, mu, limit_sign)
+        u_init = u0 + A @ lam0
+    lam, _ = jax.lax.fori_loop(0, iterations, sweep, (lam0, u_init))
     return lam
 
 
@@ -217,6 +224,7 @@ def apgd_solve(
     mu: jnp.ndarray,  # () friction coefficient
     iterations: int,
     step_bound: jnp.ndarray | None = None,  # () Lipschitz bound >= lam_max(A)
+    lam0: jnp.ndarray | None = None,  # (nrow,) warm start (physical signs)
 ) -> jnp.ndarray:
     """Accelerated projected gradient (Nesterov + adaptive restart) on the
     convex contact QP: min 0.5 lam^T A lam + lam^T r over the product of
@@ -261,7 +269,12 @@ def apgd_solve(
         y_new = lam_new + beta * d
         return lam_new, y_new, theta_new
 
-    lam0 = jnp.zeros(nrow, A.dtype)
+    if lam0 is None:
+        lam0 = jnp.zeros(nrow, A.dtype)
+    else:
+        # warm start from the previous substep's impulses (projected, so a
+        # stale/flipped carry is feasible before the first gradient step)
+        lam0 = _project_cone(lam0, n_points, mu, limit_sign)
     lam, _, _ = jax.lax.fori_loop(0, iterations, body, (lam0, lam0, jnp.asarray(1.0)))
     return lam
 
@@ -271,6 +284,8 @@ class ContactResult(NamedTuple):
     impulses: jnp.ndarray  # (K,3) per force-solved point (world frame)
     phi: jnp.ndarray  # (K,) gaps
     pos_w: jnp.ndarray  # (K,3)
+    lam: jnp.ndarray  # (nrow,) full impulse vector (physical signs) — the
+    # warm-start carry for the next substep's solve
 
 
 @f32_matmul
@@ -288,6 +303,7 @@ def resolve_contacts(
     solver: str = "apgd",
     baumgarte=0.2,
     compliance=0.0,
+    lam0: jnp.ndarray | None = None,
 ) -> ContactResult:
     setup = build_contact_setup(
         model, dyn, terrain_height_fn, dt, contact_offset=contact_offset,
@@ -319,7 +335,7 @@ def resolve_contacts(
     if solver == "apgd":
         lam = apgd_solve(
             A, u0, K, setup.lo_bound, sign, lb, mu, iterations,
-            step_bound=step_bound,
+            step_bound=step_bound, lam0=lam0,
         )
     elif solver in ("apgd_pallas", "apgd_pallas_interpret"):
         from .pallas_solver import N_POINTS, make_apgd_batched
@@ -328,13 +344,17 @@ def resolve_contacts(
         solve = make_apgd_batched(
             iterations, interpret=solver.endswith("interpret")
         )
-        lam = solve(A, u0, setup.lo_bound, sign, lb, mu, step_bound)
+        lam0_arr = jnp.zeros(nrow_, A.dtype) if lam0 is None else lam0
+        lam = solve(A, u0, setup.lo_bound, sign, lb, mu, step_bound, lam0_arr)
     else:
-        lam = pgs_solve(A, u0, K, setup.lo_bound, sign, lb, mu, iterations)
+        lam = pgs_solve(
+            A, u0, K, setup.lo_bound, sign, lb, mu, iterations, lam0=lam0
+        )
     qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
     return ContactResult(
         qvel_new=qvel_new,
         impulses=lam[: 3 * K].reshape(K, 3),
         phi=setup.phi,
         pos_w=setup.pos_w,
+        lam=lam,
     )

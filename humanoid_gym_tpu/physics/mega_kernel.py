@@ -78,7 +78,8 @@ IN_COFF = 52
 IN_KPS = 53
 IN_KDS = 54
 IN_COMP = 55
-IN_ROWS = 56  # padded to sublane multiple
+IN_LAM = 56  # warm-start impulses from the previous policy step (60 rows)
+IN_ROWS = 120  # 116 padded to sublane multiple
 
 # terrain second input (when built with a heightfield): per contact point a
 # 3x3 patch of the precomputed 3-tap-MIN grid (already in meters) sampled at
@@ -87,6 +88,42 @@ IN2_PMIN = 0  # rows [kk*9 .. kk*9+8]
 IN2_OX = 9 * N_POINTS  # 144 + kk
 IN2_OY = 10 * N_POINTS  # 160 + kk
 IN2_ROWS = 184  # 176 padded to sublane multiple
+
+# model-constant input tile (same block for every grid step): per-body rows
+# for the STACKED body stage (pallas forbids captured array constants).
+# Values are lane-replicated; each slice below reads as one (16,)+LS array.
+C_MASS = 0  # 16 rows: body masses
+C_INERTIA = 16  # 9 x 16 rows: body inertia tensors (row-major 3x3)
+C_COFF = 160  # 3 x 16 rows: contact point offsets, component-major
+C_KP = 208  # 12-row per-joint constants follow
+C_KD = 220
+C_TLIM = 232
+C_LOW = 244
+C_UP = 256
+C_VLIM = 268
+C_JFRIC = 280
+C_JDAMP = 292
+C_ROWS = 304
+
+
+def _build_const_rows(sm) -> np.ndarray:
+    arr = np.zeros((C_ROWS,), np.float32)
+    arr[C_MASS : C_MASS + sm.nb] = sm.mass
+    for i in range(3):
+        for j in range(3):
+            base = C_INERTIA + (i * 3 + j) * 16
+            arr[base : base + sm.nb] = sm.inertia[:, i, j]
+    K = len(sm.cbody)
+    for comp in range(3):
+        arr[C_COFF + comp * K : C_COFF + (comp + 1) * K] = sm.coff[:, comp]
+    nj = sm.nj
+    for base, vals in (
+        (C_KP, sm.kp), (C_KD, sm.kd), (C_TLIM, sm.tlim), (C_LOW, sm.lower),
+        (C_UP, sm.upper), (C_VLIM, sm.vel_limit), (C_JFRIC, sm.friction),
+        (C_JDAMP, sm.damping),
+    ):
+        arr[base : base + nj] = vals
+    return arr
 
 OUT_QPOS = 0
 OUT_QVEL = 19
@@ -318,11 +355,12 @@ def _build_mega_kernel(
     def kernel(in_ref, *rest):
         """st_s rows: 0-18 qpos, 19-36 qvel, 37-96 lam, 97-108 tau."""
         if terrain:
-            in2_ref, out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s, L_s = rest
+            in2_ref, inc_ref, out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s, L_s = rest
             in2 = in2_ref[0]  # (IN2_ROWS, 128)
         else:
-            out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s, L_s = rest
+            inc_ref, out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s, L_s = rest
         inp = in_ref[0]  # (IN_ROWS, 128)
+        inc = inc_ref[0]  # (C_ROWS, 128) lane-replicated model constants
         mu = inp[IN_FRIC][None, :]  # (1, 128)
         ms = inp[IN_MS]  # base-mass scale
         cstiff = inp[IN_CSTIFF]
@@ -346,8 +384,15 @@ def _build_mega_kernel(
         Jt_s[...] = jnp.where(base_tr | lim_id, 1.0, 0.0).astype(f32)
         tgt_s[...] = jnp.zeros((ROWS,) + LS, f32)
         sign_s[...] = jnp.ones((ROWS,) + LS, f32)
+        # state rows seeded with qpos/qvel and the WARM-START impulses from
+        # the previous policy step (rows OUT_LAM..OUT_LAM+59) — every
+        # substep's APGD starts from the last substep's lam
         st_s[...] = jnp.concatenate(
-            [inp[:IN_TGT], jnp.zeros((OUT_ROWS - IN_TGT,) + LS, f32)],
+            [
+                inp[:IN_TGT],
+                inp[IN_LAM : IN_LAM + (OUT_TAU - OUT_LAM)],
+                jnp.zeros((OUT_ROWS - OUT_TAU,) + LS, f32),
+            ],
             axis=0,
         )
 
@@ -363,15 +408,17 @@ def _build_mega_kernel(
             omg0 = (st[22], st[23], st[24])
             dqj = [st[25 + j] for j in range(nj)]
 
-            # ---- PD torques (legged_robot.py:340-356), motor-strength DR ----
-            tau = []
-            for j in range(nj):
-                t = (
-                    kp_s * float(sm.kp[j]) * (tgt_cmd[j] - qj[j])
-                    - kd_s * float(sm.kd[j]) * dqj[j]
-                )
-                lim = float(sm.tlim[j])
-                tau.append(jnp.clip(t, -lim, lim))
+            # ---- PD torques (legged_robot.py:340-356), motor-strength DR,
+            # STACKED: all 12 joints as one (nj,)+LS row block ----
+            qj_st = st[7 : 7 + nj]
+            dqj_st = st[25 : 25 + nj]
+            tgt_st = inp[IN_TGT : IN_TGT + nj]
+            tl_row = inc[C_TLIM : C_TLIM + nj]
+            tau_st = (
+                kp_s * inc[C_KP : C_KP + nj] * (tgt_st - qj_st)
+                - kd_s * inc[C_KD : C_KD + nj] * dqj_st
+            )
+            tau_st = jnp.clip(tau_st, -tl_row, tl_row)
 
             # ---- FK down the tree (kinematics.py fk) ----
             w, x, y, z = quat
@@ -440,54 +487,118 @@ def _build_mega_kernel(
                     v_add(a_p, v_cross(al_p, r), v_cross(w_p, wxr))
                 )
 
-            # ---- per-body forces & composite moments ----
-            # world inertia I_w = R I_body Rᵀ; base mass/inertia scaled by ms
-            f_b = []  # force at COM
-            tau_o = []  # moment about world origin
-            m_arr = []  # (possibly traced) mass
-            s_vec = []  # first moment m·c
-            I_o = []  # sym inertia about origin
-            for b in range(nb):
-                IR = m_mul(R[b], const_m3(sm.inertia[b]))
-                I_w = sym_from_m3(m_mul(IR, m_transpose(R[b])))
-                mass = float(sm.mass[b])
-                if b == 0:
-                    mass_b = _mul(mass, ms)
-                    I_w = tuple(_mul(e, ms) for e in I_w)
-                else:
-                    mass_b = mass
-                c = com_w[b]
-                rc = v_sub(c, p[b])
-                a_com = v_add(
-                    a_o[b],
-                    v_cross(alp[b], rc),
-                    v_cross(omg[b], v_cross(omg[b], rc)),
+            # ---- per-body forces & composite moments (STACKED) ----
+            # Bodies live on the SUBLANE axis: each quantity is one
+            # (NBP,) + LS array carrying all nb bodies (pad rows zero), so
+            # the ~2.3k per-body lane-scalar equations of the unstacked loop
+            # become ~200 ops at (16, 128) width. The tree accumulation that
+            # follows unstacks back to per-body scalars (row slices) because
+            # parent-chain updates are sparse and sequential.
+            NBP = 16
+            zero_ls = jnp.zeros(LS, jnp.float32)
+
+            def stk(vals):
+                rows = [_materialize(v) for v in vals]
+                rows += [zero_ls] * (NBP - len(vals))
+                return jnp.stack(rows)
+
+            def stk3(tuples):
+                return tuple(stk([t[i] for t in tuples]) for i in range(3))
+
+            def cross_st(a, b):
+                return (
+                    a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0],
                 )
-                # f = m (a_com − g); τ_com = I_w α + ω × (I_w ω)
-                ag = v_sub(a_com, const_v3(sm.gravity))
-                f = v_scale(ag, mass_b)
-                Iw_w = sym_vec(I_w, omg[b])
-                t_com = v_add(sym_vec(I_w, alp[b]), v_cross(omg[b], Iw_w))
-                f_b.append(f)
-                tau_o.append(v_add(t_com, v_cross(c, f)))
-                # CRBA composite pieces about origin
-                m_arr.append(mass_b)
-                s_vec.append(v_scale(c, mass_b))
-                cc_sym = (
-                    _mul(c[0], c[0]), _mul(c[1], c[1]), _mul(c[2], c[2]),
-                    _mul(c[0], c[1]), _mul(c[0], c[2]), _mul(c[1], c[2]),
+
+            def symv_st(S, v):
+                xx, yy, zz, xy, xz, yz = S
+                return (
+                    xx * v[0] + xy * v[1] + xz * v[2],
+                    xy * v[0] + yy * v[1] + yz * v[2],
+                    xz * v[0] + yz * v[1] + zz * v[2],
                 )
-                c2 = _add(cc_sym[0], cc_sym[1], cc_sym[2])
-                I_o.append(
-                    (
-                        _add(I_w[0], _mul(mass_b, _sub(c2, cc_sym[0]))),
-                        _add(I_w[1], _mul(mass_b, _sub(c2, cc_sym[1]))),
-                        _add(I_w[2], _mul(mass_b, _sub(c2, cc_sym[2]))),
-                        _sub(I_w[3], _mul(mass_b, cc_sym[3])),
-                        _sub(I_w[4], _mul(mass_b, cc_sym[4])),
-                        _sub(I_w[5], _mul(mass_b, cc_sym[5])),
-                    )
-                )
+
+            Rst = [
+                [stk([R[b][i][j] for b in range(nb)]) for j in range(3)]
+                for i in range(3)
+            ]
+            com_st = stk3(com_w)
+            p_st = stk3(p)
+            omg_st = stk3(omg)
+            alp_st = stk3(alp)
+            ao_st = stk3(a_o)
+
+            brow = jax.lax.broadcasted_iota(jnp.int32, (NBP,) + LS, 0)
+            ms_b = jnp.where(brow == 0, ms, 1.0)  # base-mass DR on row 0
+            mass_st = inc[C_MASS : C_MASS + NBP] * ms_b
+
+            Ib = [
+                [
+                    inc[C_INERTIA + (i * 3 + j) * NBP :
+                        C_INERTIA + (i * 3 + j + 1) * NBP]
+                    for j in range(3)
+                ]
+                for i in range(3)
+            ]
+            # world inertia I_w = R I_body R^T (base row scaled by ms)
+            IR = [
+                [
+                    Rst[i][0] * Ib[0][j] + Rst[i][1] * Ib[1][j]
+                    + Rst[i][2] * Ib[2][j]
+                    for j in range(3)
+                ]
+                for i in range(3)
+            ]
+
+            def _iw(i, j):
+                return (
+                    IR[i][0] * Rst[j][0] + IR[i][1] * Rst[j][1]
+                    + IR[i][2] * Rst[j][2]
+                ) * ms_b
+
+            Iw_st = (_iw(0, 0), _iw(1, 1), _iw(2, 2), _iw(0, 1), _iw(0, 2), _iw(1, 2))
+
+            rc = tuple(com_st[i] - p_st[i] for i in range(3))
+            wxrc = cross_st(omg_st, rc)
+            axrc = cross_st(alp_st, rc)
+            wxwxrc = cross_st(omg_st, wxrc)
+            gvec = [float(x) for x in sm.gravity]
+            a_com = tuple(ao_st[i] + axrc[i] + wxwxrc[i] for i in range(3))
+            # f = m (a_com − g); τ_com = I_w α + ω × (I_w ω)
+            f_st = tuple(
+                mass_st * (a_com[i] - gvec[i] if gvec[i] != 0.0 else a_com[i])
+                for i in range(3)
+            )
+            Iw_w = symv_st(Iw_st, omg_st)
+            sia = symv_st(Iw_st, alp_st)
+            wxIw = cross_st(omg_st, Iw_w)
+            t_com = tuple(sia[i] + wxIw[i] for i in range(3))
+            cxf = cross_st(com_st, f_st)
+            tau_o_st = tuple(t_com[i] + cxf[i] for i in range(3))
+            s_st = tuple(mass_st * com_st[i] for i in range(3))
+            cc = (
+                com_st[0] * com_st[0], com_st[1] * com_st[1],
+                com_st[2] * com_st[2], com_st[0] * com_st[1],
+                com_st[0] * com_st[2], com_st[1] * com_st[2],
+            )
+            c2 = cc[0] + cc[1] + cc[2]
+            Io_st = (
+                Iw_st[0] + mass_st * (c2 - cc[0]),
+                Iw_st[1] + mass_st * (c2 - cc[1]),
+                Iw_st[2] + mass_st * (c2 - cc[2]),
+                Iw_st[3] - mass_st * cc[3],
+                Iw_st[4] - mass_st * cc[4],
+                Iw_st[5] - mass_st * cc[5],
+            )
+
+            # unstack to per-body scalars for the sparse tree accumulation
+            f_b = [tuple(f_st[i][b] for i in range(3)) for b in range(nb)]
+            tau_o = [tuple(tau_o_st[i][b] for i in range(3)) for b in range(nb)]
+            m_arr = [mass_st[b] for b in range(nb)]
+            s_vec = [tuple(s_st[i][b] for i in range(3)) for b in range(nb)]
+            I_o = [tuple(Io_st[k][b] for k in range(6)) for b in range(nb)]
 
             # reverse accumulation child -> parent (chains: reverse index order)
             F_sub = list(f_b)
@@ -533,6 +644,12 @@ def _build_mega_kernel(
                 t = v_add(sym_vec(comp_Io, w_s), v_cross(comp_s, v_s))
                 return f, t
 
+            # NOTE on stacking (tried, reverted): batching the pair products
+            # over columns — Mcol = Σ_k S_stack[k]·F_c[k] with ancestor
+            # masks — COSTS more than this scalar loop: the constant base
+            # screws make ~100 of the ~135 entries fold to component selects
+            # (zero ops) under the symbolic-zero algebra, while the dense
+            # column product pays 11 wide ops per column regardless.
             def pair(S, F):
                 w_s, v_s = S
                 f, t = F
@@ -573,107 +690,148 @@ def _build_mega_kernel(
                     Mt_s[r, c] = mv
                     Mt_s[c, r] = mv
 
-            # ---- contact candidate rows (contact.py build_contact_setup) ----
+            # ---- contact candidate rows, STACKED over points ----
+            # Points live on the sublane axis as (K,)+LS arrays (the model's
+            # contact points are contiguous runs per foot body). Interleaved
+            # (x, y, z) row storage is recovered with the stack+reshape
+            # pattern the solver's projection already uses, so the global
+            # ROWS layout is unchanged. ~1.6k lane-scalar eqns become ~300.
             inv_dt = 1.0 / dt
             bmg = 0.2 * cstiff  # contact Baumgarte scale (contact-model DR)
-            for kk in range(K):
-                fi = sm.cbody[kk]
-                # base-relative contact point; absolute only for ground query
-                X = v_add(p[fi], m_vec(R[fi], const_v3(sm.coff[kk])))
-                Xz_abs = _materialize(_add(X[2], pos0[2]))
-                if terrain:
-                    # 3-tap-min heightfield lookup from the per-point 3x3
-                    # min-grid patch (in-kernel one-hot select; the patch
-                    # window tracks the point's step-start cell +-1 — a foot
-                    # leaving it within 10 ms clamps to the window edge)
-                    fx = (_materialize(_add(X[0], pos0[0])) + terr_border) * terr_inv_h
-                    fy = (_materialize(_add(X[1], pos0[1])) + terr_border) * terr_inv_h
-                    pxg = jnp.clip(jnp.floor(fx), 0.0, terr_nrow - 2.0)
-                    pyg = jnp.clip(jnp.floor(fy), 0.0, terr_ncol - 2.0)
-                    rx = jnp.clip(pxg - in2[IN2_OX + kk], 0.0, 2.0)
-                    ry = jnp.clip(pyg - in2[IN2_OY + kk], 0.0, 2.0)
-                    ground = None
-                    for ii in range(3):
-                        ai = jnp.where(rx == float(ii), 1.0, 0.0)
-                        for jj in range(3):
-                            bj = jnp.where(ry == float(jj), 1.0, 0.0)
-                            ground = _add(
-                                ground, in2[IN2_PMIN + kk * 9 + ii * 3 + jj] * ai * bj
-                            )
-                    phi = Xz_abs - ground
-                else:
-                    phi = Xz_abs  # flat plane: ground height 0
-                b_pen = jnp.minimum(bmg * (-phi) * inv_dt, max_depen_vel)
-                b_gap = -phi * inv_dt
-                lo = jnp.where(phi <= 0.0, b_pen, b_gap)
-                lo = jnp.where(phi > coffset, -1e9, lo)
-                tgt_s[3 * kk + 2] = lo
-                # J rows: base rotation columns e_c × (X − p_base); X is
-                # already base-relative
-                d = X
-                d0, d1, d2 = (_materialize(d[i]) for i in range(3))
-                Jt_s[3, 3 * kk + 1] = -d2
-                Jt_s[3, 3 * kk + 2] = d1
-                Jt_s[4, 3 * kk + 0] = d2
-                Jt_s[4, 3 * kk + 2] = -d0
-                Jt_s[5, 3 * kk + 0] = -d1
-                Jt_s[5, 3 * kk + 1] = d0
-                # ancestor joint columns: a_j × (X − pivot_j)
-                for j in sm.anc[fi]:
-                    col = v_cross(axis_w[j], v_sub(X, pivot_w[j]))
-                    for ax in range(3):
-                        Jt_s[6 + j, 3 * kk + ax] = _materialize(col[ax])
+            groups = []  # contiguous (body, start, end) point runs
+            g0 = 0
+            for kk in range(1, K + 1):
+                if kk == K or sm.cbody[kk] != sm.cbody[g0]:
+                    groups.append((sm.cbody[g0], g0, kk))
+                    g0 = kk
 
-            # ---- joint-limit rows (contact.py joint_limit_bounds) ----
-            for j in range(nj):
-                mid = 0.5 * float(sm.lower[j] + sm.upper[j])
-                near_lower = qj[j] < mid
-                sgn = jnp.where(near_lower, 1.0, -1.0)
-                viol = jnp.where(
-                    near_lower, float(sm.lower[j]) - qj[j], qj[j] - float(sm.upper[j])
-                )
-                b_pen = jnp.minimum(lim_baumgarte * viol * inv_dt, lim_max_depen)
-                b_gap = viol * inv_dt
-                bb = jnp.where(viol >= 0.0, b_pen, b_gap)
-                bb = jnp.where(viol < -lim_margin, -1e9, bb)
-                sign_s[_NC3 + j] = sgn
-                tgt_s[_NC3 + j] = bb
+            # X = R_f @ coff + p_f per group, concatenated to (K,)+LS
+            Xc = []
+            for i in range(3):
+                parts = []
+                for fb, a, b_ in groups:
+                    acc = None
+                    for j in range(3):
+                        cr = inc[C_COFF + j * K + a : C_COFF + j * K + b_]
+                        term = cr * _materialize(R[fb][i][j])
+                        acc = term if acc is None else acc + term
+                    parts.append(acc + _materialize(p[fb][i]))
+                Xc.append(jnp.concatenate(parts, axis=0))
 
-            # ---- rhs = dt (S tau + tau_fric − h) ----
-            rhs_rows = []
-            for v in range(6):
-                rhs_rows.append(_materialize(_mul(-dt, h[v])))
-            for j in range(nj):
-                tf = (
-                    -float(sm.friction[j]) * jnp.tanh(dqj[j] / 0.05)
-                    - float(sm.damping[j]) * dqj[j]
-                )
-                rhs_rows.append(
-                    _materialize(_mul(dt, _add(tau[j], tf, _neg(h[6 + j]))))
-                )
-            for _pad in range(NVP - NV):
-                rhs_rows.append(jnp.zeros(LS, jnp.float32))
-            rhs_t = jnp.stack(rhs_rows)
+            zK = jnp.zeros((K,) + LS, f32)
 
-            # ---- fused solve on tiles ----
+            def inter3(a, b, c):  # per-point (x, y, z) -> interleaved rows
+                return jnp.stack([a, b, c], axis=1).reshape((_NC3,) + LS)
+
+            Xz_abs = Xc[2] + pos0[2]
+            if terrain:
+                # 3-tap-min heightfield lookup from the per-point 3x3
+                # min-grid patches (component-major rows; the patch window
+                # tracks the point's step-start cell +-1 — a foot leaving it
+                # within 10 ms clamps to the window edge)
+                fx = (Xc[0] + pos0[0] + terr_border) * terr_inv_h
+                fy = (Xc[1] + pos0[1] + terr_border) * terr_inv_h
+                pxg = jnp.clip(jnp.floor(fx), 0.0, terr_nrow - 2.0)
+                pyg = jnp.clip(jnp.floor(fy), 0.0, terr_ncol - 2.0)
+                rx = jnp.clip(pxg - in2[IN2_OX : IN2_OX + K], 0.0, 2.0)
+                ry = jnp.clip(pyg - in2[IN2_OY : IN2_OY + K], 0.0, 2.0)
+                ground = None
+                for ii in range(3):
+                    ai = jnp.where(rx == float(ii), 1.0, 0.0)
+                    for jj in range(3):
+                        bj = jnp.where(ry == float(jj), 1.0, 0.0)
+                        pm = in2[
+                            IN2_PMIN + (ii * 3 + jj) * K :
+                            IN2_PMIN + (ii * 3 + jj + 1) * K
+                        ]
+                        g_ = pm * ai * bj
+                        ground = g_ if ground is None else ground + g_
+                phi = Xz_abs - ground
+            else:
+                phi = Xz_abs  # flat plane: ground height 0
+            b_pen = jnp.minimum(bmg * (-phi) * inv_dt, max_depen_vel)
+            b_gap = -phi * inv_dt
+            lo = jnp.where(phi <= 0.0, b_pen, b_gap)
+            lo = jnp.where(phi > coffset, -1e9, lo)
+            tgt_s[0:_NC3] = inter3(zK, zK, lo)
+            # J rows: base rotation columns e_c × X (X is base-relative)
+            d0, d1, d2 = Xc
+            Jt_s[3, 0:_NC3] = inter3(zK, -d2, d1)
+            Jt_s[4, 0:_NC3] = inter3(d2, zK, -d0)
+            Jt_s[5, 0:_NC3] = inter3(-d1, d0, zK)
+            # ancestor joint columns: a_j × (X − pivot_j), zero outside the
+            # joint's own foot-point run
+            for fb, a, b_ in groups:
+                Xg = [Xc[i][a:b_] for i in range(3)]
+                zpre = jnp.zeros((a,) + LS, f32) if a else None
+                zpost = jnp.zeros((K - b_,) + LS, f32) if K - b_ else None
+                for j in sm.anc[fb]:
+                    ax_w = [_materialize(axis_w[j][i]) for i in range(3)]
+                    rx_ = [Xg[i] - _materialize(pivot_w[j][i]) for i in range(3)]
+                    col = (
+                        ax_w[1] * rx_[2] - ax_w[2] * rx_[1],
+                        ax_w[2] * rx_[0] - ax_w[0] * rx_[2],
+                        ax_w[0] * rx_[1] - ax_w[1] * rx_[0],
+                    )
+                    full = [
+                        jnp.concatenate(
+                            [x for x in (zpre, col[i], zpost) if x is not None],
+                            axis=0,
+                        )
+                        for i in range(3)
+                    ]
+                    Jt_s[6 + j, 0:_NC3] = inter3(*full)
+
+            # ---- joint-limit rows (contact.py joint_limit_bounds), STACKED --
+            low = inc[C_LOW : C_LOW + nj]
+            up = inc[C_UP : C_UP + nj]
+            near_lower = qj_st < 0.5 * (low + up)
+            sgn = jnp.where(near_lower, 1.0, -1.0)
+            viol = jnp.where(near_lower, low - qj_st, qj_st - up)
+            lb_pen = jnp.minimum(lim_baumgarte * viol * inv_dt, lim_max_depen)
+            bb = jnp.where(viol >= 0.0, lb_pen, viol * inv_dt)
+            bb = jnp.where(viol < -lim_margin, -1e9, bb)
+            sign_s[_NC3 : _NC3 + nj] = sgn
+            tgt_s[_NC3 : _NC3 + nj] = bb
+
+            # ---- rhs = dt (S tau + tau_fric − h), STACKED joint block ----
+            tf_st = (
+                -inc[C_JFRIC : C_JFRIC + nj] * jnp.tanh(dqj_st / 0.05)
+                - inc[C_JDAMP : C_JDAMP + nj] * dqj_st
+            )
+            h_j = jnp.stack([_materialize(h[6 + j]) for j in range(nj)])
+            rhs_t = jnp.concatenate(
+                [
+                    jnp.stack([_materialize(_mul(-dt, h[v])) for v in range(6)]),
+                    dt * (tau_st + tf_st - h_j),
+                    jnp.zeros((NVP - NV,) + LS, jnp.float32),
+                ],
+                axis=0,
+            )
+
+            # ---- fused solve on tiles (warm-started from the previous
+            # substep's impulses carried in the state rows) ----
             qvel_t = jnp.concatenate(
                 [st[19:37], jnp.zeros((NVP - NV,) + LS, jnp.float32)], axis=0
+            )
+            lam_prev = jnp.concatenate(
+                [
+                    st[OUT_LAM:OUT_TAU],
+                    jnp.zeros((ROWS - (OUT_TAU - OUT_LAM),) + LS, jnp.float32),
+                ],
+                axis=0,
             )
             qvel_new, lam = _fused_core_opt(
                 L_s, Mt_s[...], Jt_s[...], qvel_t, rhs_t,
                 tgt_s[...], sign_s[...], mu, valid, iterations,
-                compliance=comp,
+                compliance=comp, lam0=lam_prev,
             )
 
             # ---- velocity limits + semi-implicit integration (step.py) ----
             vx, vy, vz = qvel_new[0], qvel_new[1], qvel_new[2]
             wx_n, wy_n, wz_n = qvel_new[3], qvel_new[4], qvel_new[5]
-            vj = [
-                jnp.clip(
-                    qvel_new[6 + j], -float(sm.vel_limit[j]), float(sm.vel_limit[j])
-                )
-                for j in range(nj)
-            ]
+            vlim = inc[C_VLIM : C_VLIM + nj]
+            vj_st = jnp.clip(qvel_new[6 : 6 + nj], -vlim, vlim)
             # quaternion exponential-map update (spatial.py quat_integrate)
             ax, ay, az = wx_n * dt, wy_n * dt, wz_n * dt
             theta = jnp.sqrt(ax * ax + ay * ay + az * az)
@@ -690,16 +848,22 @@ def _build_mega_kernel(
             nz = dw * qz + dx * qy - dy * qx + dz * qw
             qn = jax.lax.rsqrt(nw * nw + nx * nx + ny * ny + nz * nz)
 
-            new_rows = [
-                st[0] + dt * vx, st[1] + dt * vy, st[2] + dt * vz,
-                nw * qn, nx * qn, ny * qn, nz * qn,
-            ]
-            new_rows += [qj[j] + dt * vj[j] for j in range(nj)]
-            new_rows += [vx, vy, vz, wx_n, wy_n, wz_n]
-            new_rows += vj
+            head = jnp.stack(
+                [
+                    st[0] + dt * vx, st[1] + dt * vy, st[2] + dt * vz,
+                    nw * qn, nx * qn, ny * qn, nz * qn,
+                ]
+            )
             st_new = jnp.concatenate(
-                [jnp.stack(new_rows), lam[:60], jnp.stack(tau),
-                 jnp.zeros((OUT_ROWS - OUT_TAU - nj,) + LS, jnp.float32)],
+                [
+                    head,
+                    qj_st + dt * vj_st,
+                    qvel_new[0:6],
+                    vj_st,
+                    lam[:60],
+                    tau_st,
+                    jnp.zeros((OUT_ROWS - OUT_TAU - nj,) + LS, jnp.float32),
+                ],
                 axis=0,
             )
             st_s[...] = st_new
@@ -766,6 +930,23 @@ def _mega_call(
         args.append(to_tiles(xp2, IN2_ROWS))
         in_specs.append(spec_in(IN2_ROWS))
 
+    # model constants: lane-replicated rows, ONE block shared by every grid
+    # step (index_map pinned to 0) — pallas forbids captured array constants
+    cvals = jnp.asarray(
+        np.broadcast_to(
+            _build_const_rows(sm).reshape((1, C_ROWS) + (1,) * len(LS)),
+            (1, C_ROWS) + LS,
+        )
+    )
+    args.append(cvals)
+    in_specs.append(
+        pl.BlockSpec(
+            (1, C_ROWS) + LS,
+            (lambda i: (0, 0, 0)) if _SUB == 1 else (lambda i: (0, 0, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+    )
+
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS) + LS, jnp.float32),
@@ -816,7 +997,8 @@ def make_mega_step_batched(
     has no GSPMD rule).
 
     Signature: (qpos, qvel, friction, base_mass_scale, contact_stiffness,
-    contact_offset, kp_scale, kd_scale, contact_compliance, targets) ->
+    contact_offset, kp_scale, kd_scale, contact_compliance,
+    lam0 (60,) warm-start impulses, targets) ->
     (qpos_new, qvel_new, lam (60,), tau (nj,)).
     """
     from jax.custom_batching import custom_vmap
@@ -863,14 +1045,15 @@ def make_mega_step_batched(
             )
             ox = jnp.clip(px - 1, 0, t_nrow - 4)
             oy = jnp.clip(py - 1, 0, t_ncol - 4)
-            patch = jnp.stack(
+            # tap-major rows ((ii*3+jj)*K + kk) so the kernel's STACKED
+            # lookup slices one contiguous (K,)+LS row block per tap
+            patch = jnp.concatenate(
                 [Pg[ox + i, oy + j] for i in range(3) for j in range(3)],
                 axis=-1,
-            )  # (N, K, 9)
-            N = qpos.shape[0]
+            )  # (N, 9*K)
             return jnp.concatenate(
                 [
-                    patch.reshape(N, -1),
+                    patch,
                     ox.astype(jnp.float32),
                     oy.astype(jnp.float32),
                 ],
@@ -880,7 +1063,7 @@ def make_mega_step_batched(
         terr = None
 
     @custom_vmap
-    def step(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, targets):
+    def step(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, lam0, targets):
         # single-env XLA fallback (same math as the kernel)
         from ..terrain.terrain import flat_height_fn, make_height_fn
         from .contact import (
@@ -901,7 +1084,7 @@ def make_mega_step_batched(
 
         @f32_matmul
         def substep(carry, _):
-            qpos_c, qvel_c = carry
+            qpos_c, qvel_c, lam_c = carry
             tau = pd_torques(model, qpos_c, qvel_c, targets, kp_eff, kd_eff, tlim_j)
             dyn = compute_dynamics(model, qpos_c, qvel_c, dt, implicit_d, mass_scale)
             tau_fric = (
@@ -932,7 +1115,7 @@ def make_mega_step_batched(
             step_bound = jnp.max(jnp.sum(jnp.abs(G), axis=-1)) + reg
             lam = apgd_solve(
                 A, u0, N_POINTS, setup.lo_bound, sign, lb, fric, iterations,
-                step_bound=step_bound,
+                step_bound=step_bound, lam0=lam_c,
             )
             qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
             vj = jnp.clip(qvel_new[6:], -model.dof_vel_limit, model.dof_vel_limit)
@@ -943,17 +1126,17 @@ def make_mega_step_batched(
             quat_new = S.quat_integrate(qpos_c[3:7], qvel_new[3:6], dt)
             qj_new = qpos_c[7:] + dt * qvel_new[6:]
             qpos_new = jnp.concatenate([pos_new, quat_new, qj_new])
-            return (qpos_new, qvel_new), (lam, tau)
+            return (qpos_new, qvel_new, lam), (tau,)
 
-        (qpos_n, qvel_n), (lams, taus) = jax.lax.scan(
-            substep, (qpos, qvel), None, length=decimation
+        (qpos_n, qvel_n, lam_n), (taus,) = jax.lax.scan(
+            substep, (qpos, qvel, lam0), None, length=decimation
         )
-        return qpos_n, qvel_n, lams[-1], taus[-1]
+        return qpos_n, qvel_n, lam_n, taus[-1]
 
-    def batched(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, targets):
+    def batched(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, lam0, targets):
         packed = jnp.concatenate(
             [qpos, qvel, targets, fric[:, None], bms[:, None], cstiff[:, None],
-             coff[:, None], kps[:, None], kds[:, None], comp[:, None]],
+             coff[:, None], kps[:, None], kds[:, None], comp[:, None], lam0],
             axis=1,
         ).astype(jnp.float32)
         packed2 = terrain_patches(qpos) if terr is not None else None
@@ -990,7 +1173,7 @@ def make_mega_step_batched(
             fn = shard_map(
                 batched,
                 mesh=ambient,
-                in_specs=(spec,) * 10,
+                in_specs=(spec,) * 11,
                 out_specs=(spec,) * 4,
                 check_rep=False,
             )

@@ -50,12 +50,13 @@ def get_solver_mesh():
 
 
 def _apgd_kernel(
-    A_ref, r_ref, step_ref, mu_ref, nlim_ref, iters_ref, lam_ref
+    A_ref, r_ref, step_ref, mu_ref, lam0_ref, nlim_ref, iters_ref, lam_ref
 ):
     A = A_ref[0]  # (R, R, 128)
     r = r_ref[0]  # (R, 128)
     step = step_ref[0]  # (1, 128)
     mu = mu_ref[0]  # (1, 128)
+    lam0 = lam0_ref[0]  # (R, 128) warm start, sign-folded
 
     nc3 = 3 * N_POINTS
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ENV_TILE), 0)
@@ -96,9 +97,9 @@ def _apgd_kernel(
         y_new = lam_new + beta * d
         return lam_new, y_new, theta_new
 
-    zero = jnp.zeros((ROWS, ENV_TILE), A.dtype)
+    init = project(lam0)  # projected warm start (feasible before first step)
     ones = jnp.ones((1, ENV_TILE), A.dtype)
-    lam, _, _ = jax.lax.fori_loop(0, iters_ref[0], body, (zero, zero, ones))
+    lam, _, _ = jax.lax.fori_loop(0, iters_ref[0], body, (init, init, ones))
     lam_ref[0] = lam
 
 
@@ -111,6 +112,7 @@ def apgd_solve_pallas(
     limit_bound: jnp.ndarray,  # (N, nlim)
     mu: jnp.ndarray,  # (N,)
     step_bound: jnp.ndarray | None = None,  # (N,) Lipschitz bound
+    lam0: jnp.ndarray | None = None,  # (N, nrow) warm start (physical signs)
     iterations: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -119,6 +121,8 @@ def apgd_solve_pallas(
     N, nrow, _ = A.shape
     nc3 = 3 * N_POINTS
     nlim = nrow - nc3
+    if lam0 is None:
+        lam0 = jnp.zeros((N, nrow), A.dtype)
 
     # sign folding for limit rows
     s = jnp.concatenate(
@@ -148,6 +152,7 @@ def apgd_solve_pallas(
     r_p = pad_envs(r, ((0, ROWS - nrow),))
     step_p = pad_envs(step[:, None], ((0, 0),))
     mu_p = pad_envs(mu.astype(A.dtype)[:, None], ((0, 0),))
+    lam0_p = pad_envs((s * lam0).astype(A.dtype), ((0, ROWS - nrow),))
 
     # (Np, R, R) -> (T, R, R, 128) env-lane-major
     def to_tiles(x):
@@ -179,6 +184,9 @@ def apgd_solve_pallas(
             pl.BlockSpec(
                 (1, 1, ENV_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (1, ROWS, ENV_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -191,6 +199,7 @@ def apgd_solve_pallas(
         r_t,
         step_t,
         mu_t,
+        to_tiles(lam0_p),
         jnp.asarray([nlim], jnp.int32),
         jnp.asarray([iterations], jnp.int32),
     )
@@ -208,17 +217,19 @@ def make_apgd_batched(iterations: int, interpret: bool = False):
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
-    def solve(A, u0, lo, sign, lb, mu, step_bound):
+    def solve(A, u0, lo, sign, lb, mu, step_bound, lam0):
         from .contact import apgd_solve
 
         return apgd_solve(
             A, u0, N_POINTS, lo, sign, lb, mu, iterations,
-            step_bound=step_bound,
+            step_bound=step_bound, lam0=lam0,
         )
 
     @solve.def_vmap
-    def _vmap_rule(axis_size, in_batched, A, u0, lo, sign, lb, mu, step_bound):
-        args = [A, u0, lo, sign, lb, mu, step_bound]
+    def _vmap_rule(
+        axis_size, in_batched, A, u0, lo, sign, lb, mu, step_bound, lam0
+    ):
+        args = [A, u0, lo, sign, lb, mu, step_bound, lam0]
         args = [
             x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
             for x, b in zip(args, in_batched)
@@ -240,7 +251,10 @@ NV = 18  # generalized velocities
 NVP = 24  # padded to sublane multiple
 
 
-def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations, compliance=None):
+def _fused_core(
+    A0, Jt, qvel, rhs, target, sign, mu, valid, iterations, compliance=None,
+    lam0=None,
+):
     """The on-chip dynamics+contact solve shared by the fused and mega
     kernels: cholesky(Mtilde) -> v_free -> B = L^-1 J^T -> A = B^T B ->
     APGD -> qvel_new. All operands are env-lane-major VMEM values:
@@ -256,6 +270,8 @@ def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations, complian
       iterations: int or traced scalar (fori_loop bound)
       compliance: optional (128,) CFM scale — adds
         compliance*mean(diag(A))*I on live rows (soft-contact DR)
+      lam0: optional (ROWS, 128) warm-start impulses in PHYSICAL signs
+        (the previous substep's lam; projected before the first step)
 
     Returns (qvel_new (NVP, 128), lam (ROWS, 128) unfolded to physical
     impulse signs).
@@ -382,9 +398,12 @@ def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations, complian
         beta = jnp.where(restart, 0.0, beta)
         return lam_new, lam_new + beta * d, theta_new
 
-    zero = jnp.zeros((ROWS, ENV_TILE), f32)
+    if lam0 is None:
+        init = jnp.zeros((ROWS, ENV_TILE), f32)
+    else:
+        init = project(lam0 * sign)  # fold to solver signs, then project
     ones = jnp.ones((1, ENV_TILE), f32)
-    lam, _, _ = jax.lax.fori_loop(0, iterations, body, (zero, zero, ones))
+    lam, _, _ = jax.lax.fori_loop(0, iterations, body, (init, init, ones))
 
     # ---- qvel_new = v_free + L^-T (B lam) ----
     y1 = jnp.sum(B * lam[None, :, :], axis=1)  # (NVP, 128)
@@ -394,7 +413,7 @@ def _fused_core(A0, Jt, qvel, rhs, target, sign, mu, valid, iterations, complian
 
 def _fused_core_opt(
     L_ref, Mt, Jt, qvel, rhs, target, sign, mu, valid, iterations,
-    compliance=None,
+    compliance=None, lam0=None,
 ):
     """Optimized mega-kernel solve stage — same math as `_fused_core`, same
     operand layouts, restructured for ~3x fewer VPU ops:
@@ -544,9 +563,12 @@ def _fused_core_opt(
         beta = jnp.where(restart, 0.0, beta)
         return lam_new, lam_new + beta * d, theta_new
 
-    zero = jnp.zeros((ROWS,) + ls, f32)
+    if lam0 is None:
+        init = jnp.zeros((ROWS,) + ls, f32)
+    else:
+        init = project(lam0 * sign)  # fold to solver signs, then project
     ones = jnp.ones((1,) + ls, f32)
-    lam, _, _ = jax.lax.fori_loop(0, iterations, body, (zero, zero, ones))
+    lam, _, _ = jax.lax.fori_loop(0, iterations, body, (init, init, ones))
 
     # ---- qvel_new = v_free + L^-T (B lam) ----
     y1_rows = [jnp.sum(rk * lam, axis=0) for rk in rows]  # ls each
@@ -557,7 +579,7 @@ def _fused_core_opt(
 
 def _fused_kernel(
     Mt_ref, Jt_ref, qvel_ref, rhs_ref, target_ref, sign_ref, mu_ref,
-    comp_ref, nlim_ref, iters_ref, qvel_out_ref, lam_out_ref,
+    comp_ref, lam0_ref, nlim_ref, iters_ref, qvel_out_ref, lam_out_ref,
 ):
     f32 = Mt_ref.dtype
     rrow = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ENV_TILE), 0)
@@ -565,7 +587,7 @@ def _fused_kernel(
     qvel_new, lam = _fused_core(
         Mt_ref[0], Jt_ref[0], qvel_ref[0], rhs_ref[0], target_ref[0],
         sign_ref[0], mu_ref[0], valid, iters_ref[0],
-        compliance=comp_ref[0][0],
+        compliance=comp_ref[0][0], lam0=lam0_ref[0],
     )
     qvel_out_ref[0] = qvel_new
     lam_out_ref[0] = lam
@@ -582,6 +604,7 @@ def fused_solve_pallas(
     limit_bound: jnp.ndarray,  # (N, nlim)
     mu: jnp.ndarray,  # (N,)
     compliance: jnp.ndarray,  # (N,) CFM scale (0 = rigid)
+    lam0: jnp.ndarray | None = None,  # (N, nrow) warm start (physical signs)
     iterations: int = 16,
     interpret: bool = False,
 ):
@@ -589,6 +612,8 @@ def fused_solve_pallas(
     N, nrow, nv = J.shape
     nc3 = 3 * N_POINTS
     nlim = nrow - nc3
+    if lam0 is None:
+        lam0 = jnp.zeros((N, nrow), J.dtype)
 
     sign = jnp.concatenate(
         [jnp.ones((N, nc3), J.dtype), limit_sign.astype(J.dtype)], axis=1
@@ -617,6 +642,7 @@ def fused_solve_pallas(
     sign_p = jnp.pad(sign, ((0, n_pad), (0, ROWS - nrow)), constant_values=1.0)
     mu_p = pad(mu.astype(J.dtype)[:, None], ((0, 0),))
     comp_p = pad(compliance.astype(J.dtype)[:, None], ((0, 0),))
+    lam0_p = pad(lam0.astype(J.dtype), ((0, ROWS - nrow),))
 
     def to_tiles(x):
         x = x.reshape((T, ENV_TILE) + x.shape[1:])
@@ -645,6 +671,7 @@ def fused_solve_pallas(
             spec2(ROWS),  # sign
             spec2(1),  # mu
             spec2(1),  # compliance
+            spec2(ROWS),  # lam0 warm start
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -659,6 +686,7 @@ def fused_solve_pallas(
         to_tiles(sign_p),
         to_tiles(mu_p),
         to_tiles(comp_p),
+        to_tiles(lam0_p),
         jnp.asarray([nlim], jnp.int32),
         jnp.asarray([iterations], jnp.int32),
     )
@@ -676,7 +704,7 @@ def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
-    def solve(Mt, J, qvel, rhs, lo, sign, lb, mu, compliance):
+    def solve(Mt, J, qvel, rhs, lo, sign, lb, mu, compliance, lam0):
         # single-env fallback: unrolled XLA path (same math)
         from .contact import apgd_solve
         from .linalg import chol_unrolled, solve_lower_unrolled, solve_upper_unrolled
@@ -693,7 +721,7 @@ def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
         step_bound = jnp.max(jnp.sum(jnp.abs(G), axis=-1)) + reg
         lam = apgd_solve(
             A, u0, N_POINTS, lo, sign, lb, mu, iterations,
-            step_bound=step_bound,
+            step_bound=step_bound, lam0=lam0,
         )
         qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
         return qvel_new, lam
@@ -710,7 +738,7 @@ def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
         batched = shard_map(
             batched,
             mesh=mesh,
-            in_specs=(spec,) * 9,
+            in_specs=(spec,) * 10,
             out_specs=(spec, spec),
             check_rep=False,
         )

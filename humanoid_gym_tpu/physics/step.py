@@ -41,6 +41,12 @@ class PhysicsState:
     # outputs of the last substep (for observations / rewards)
     contact_forces: jnp.ndarray  # (nb,3) net per-body contact force [N]
     torques: jnp.ndarray  # (nj,) last applied actuator torques
+    # warm-start carry: the last substep's full impulse vector (physical
+    # signs, (3*ncon + nj,)). Seeding the next solve from it roughly halves
+    # the APGD iterations needed for the same accuracy (contacts persist
+    # across 1 ms substeps AND 10 ms policy steps while in stance). Zeroed
+    # on env reset.
+    contact_lam: jnp.ndarray
 
 
 def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> PhysicsState:
@@ -59,6 +65,7 @@ def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> Physi
         kd_scale=jnp.asarray(1.0),
         contact_forces=jnp.zeros((nb, 3)),
         torques=jnp.zeros(njnt),
+        contact_lam=jnp.zeros(3 * model.ncon + njnt),
     )
 
 
@@ -139,7 +146,7 @@ def make_substep(
             )
             qvel_new, lam = fused(
                 Mt, setup.J, qvel, rhs, setup.lo_bound, sign, lb,
-                state.friction, state.contact_compliance,
+                state.friction, state.contact_compliance, state.contact_lam,
             )
             K = setup.phi.shape[0]
             res = ContactResult(
@@ -147,6 +154,7 @@ def make_substep(
                 impulses=lam[: 3 * K].reshape(K, 3),
                 phi=setup.phi,
                 pos_w=setup.pos_w,
+                lam=lam,
             )
         else:
             v_free = qvel + solve_mtilde(dyn.Mtilde_chol, dt * (gen_force - dyn.h))
@@ -164,6 +172,7 @@ def make_substep(
                 baumgarte=0.2 * state.contact_stiffness,
                 contact_offset=state.contact_offset,
                 compliance=state.contact_compliance,
+                lam0=state.contact_lam,
             )
         qvel_new = res.qvel_new
         # DOF velocity limits (PhysX clamps at maxVelocity; URDF <limit velocity>)
@@ -184,6 +193,7 @@ def make_substep(
             qvel=qvel_new,
             contact_forces=cf,
             torques=tau,
+            contact_lam=res.lam,
         )
 
     return substep
@@ -235,12 +245,13 @@ def make_physics_step(
                 state.qpos, state.qvel, state.friction,
                 state.base_mass_scale, state.contact_stiffness,
                 state.contact_offset, state.kp_scale, state.kd_scale,
-                state.contact_compliance, targets,
+                state.contact_compliance, state.contact_lam, targets,
             )
             forces = lam[: 3 * K].reshape(K, 3) / sim_dt
             cf = jnp.zeros((nb, 3), forces.dtype).at[body_idx].add(forces)
             return state.replace(
-                qpos=qpos_new, qvel=qvel_new, contact_forces=cf, torques=tau
+                qpos=qpos_new, qvel=qvel_new, contact_forces=cf, torques=tau,
+                contact_lam=lam,
             )
 
         return step

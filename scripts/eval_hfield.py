@@ -44,11 +44,16 @@ def eval_ckpt(ckpt_path: str, rollouts: int, duration: float):
     export_ckpt(ckpt_path, d)
     policy = load_policy(os.path.join(d, "policy.npz"))
     survived, dists = 0, []
+    # run_mujoco is deterministic (the MJCF shim strips sensornoise), so real
+    # rollout variation comes from spawning at different points of the hfield
+    # (different footing) x two command speeds. Seeded so curves comparable.
+    rng = np.random.default_rng(12345)
+    spawns = rng.uniform(-8.0, 8.0, size=(rollouts, 2))
     for r in range(rollouts):
-        # vary the push of randomness via command direction sign each rollout
         cfg = Sim2SimCfg(
             mujoco_model_path=TERRAIN_MJCF, sim_duration=duration,
             cmd_vx=0.4 if r % 2 == 0 else 0.2,
+            spawn_xy=(float(spawns[r, 0]), float(spawns[r, 1])),
         )
         out = run_mujoco(policy, cfg)
         if out["fallen_at_s"] is None:

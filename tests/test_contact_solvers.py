@@ -301,3 +301,54 @@ def test_contact_compliance_softens(xbot_model):
     pen_s = float(soft.qpos[2])
     assert pen_s < pen_r  # compliant envs settle measurably lower
     assert pen_r - pen_s > 1e-4
+
+
+def test_warm_start_accuracy(xbot_model):
+    """The APGD warm start (PhysicsState.contact_lam, carried across
+    substeps and policy steps) must beat the round-2 cold start: at equal
+    iterations the warm solve is strictly more accurate, and warm@8 beats
+    cold@16 (the basis for the solver_iterations=8 production default,
+    config/base.py PhysxLikeSolverCfg)."""
+    from humanoid_gym_tpu.physics.step import default_state, make_physics_step
+    from humanoid_gym_tpu.terrain.terrain import flat_height_fn
+
+    m = xbot_model
+    kp = jnp.asarray(
+        [200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15], jnp.float32
+    )
+    kd = jnp.full(12, 10.0)
+    tl = m.dof_effort * 0.85
+
+    def mk(iters):
+        return jax.jit(
+            jax.vmap(
+                make_physics_step(
+                    m, 0.001, 10, kp, kd, tl, flat_height_fn,
+                    solver_iterations=iters, solver="apgd",
+                )
+            )
+        )
+
+    rng = np.random.default_rng(0)
+    n = 8
+    st = default_state(m, jnp.asarray([0.0, 0.0, 0.95]), jnp.asarray([1.0, 0, 0, 0]))
+    stb = jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), st)
+    qpos = np.array(stb.qpos)
+    qpos[:, 7:] = rng.uniform(-0.1, 0.1, (n, 12))
+    stb = stb.replace(qpos=jnp.asarray(qpos, jnp.float32))
+
+    # settle into a dynamic contact-rich state with a converged solver
+    ref = mk(200)
+    s = stb
+    for i in range(20):
+        s = ref(s, 0.3 * jnp.sin(0.05 * i) * jnp.ones((n, 12)))
+    tgt = 0.3 * jnp.sin(0.05 * 20) * jnp.ones((n, 12))
+    gold = ref(s, tgt)
+
+    s_cold = s.replace(contact_lam=jnp.zeros_like(s.contact_lam))
+    err = lambda out: float(jnp.abs(out.qvel - gold.qvel).max())
+    warm8 = err(mk(8)(s, tgt))
+    cold8 = err(mk(8)(s_cold, tgt))
+    cold16 = err(mk(16)(s_cold, tgt))
+    assert warm8 < cold8, (warm8, cold8)
+    assert warm8 < cold16, (warm8, cold16)
