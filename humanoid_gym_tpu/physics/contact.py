@@ -38,6 +38,26 @@ class ContactSetup(NamedTuple):
     limit_sign: jnp.ndarray  # (nj,) placeholder; real signs from joint_limit_bounds
     phi: jnp.ndarray  # (ncon_pts,) signed gap of force-solved points
     pos_w: jnp.ndarray  # (ncon_pts,3) world candidate positions
+    frames: jnp.ndarray | None  # (ncon_pts,3,3) rows (t1, t2, n) per point,
+    # or None on flat terrain (identity frames — world x/y/z rows)
+
+
+def terrain_contact_frames(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
+    """Per-point contact frames from terrain slope: rows (t1, t2, n) with
+    n = normalize(-dh/dx, -dh/dy, 1) — the surface normal of the height
+    function — and tangents spanning the surface plane. PhysX trimesh /
+    MuJoCo hfield prisms resolve contacts along this normal; a vertical
+    normal neither decelerates a foot landing on an up-slope nor tilts the
+    friction cone. Returns (K, 3, 3)."""
+    ones = jnp.ones_like(gx)
+    n = jnp.stack([-gx, -gy, ones], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    # t1 = normalize(e_y x n) = [n_z, 0, -n_x]/|.| — never degenerate while
+    # the surface is walkable (n_z > 0)
+    t1 = jnp.stack([n[:, 2], jnp.zeros_like(gx), -n[:, 0]], axis=-1)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([t1, t2, n], axis=1)
 
 
 def build_contact_setup(
@@ -49,6 +69,8 @@ def build_contact_setup(
     baumgarte: float = 0.2,
     max_depen_vel: float = 1.0,
     limit_margin: float = 0.05,
+    terrain_grad_fn=None,
+    frames_override: jnp.ndarray | None = None,
 ) -> ContactSetup:
     k = dyn.k
     mask = ancestor_mask(model)
@@ -62,16 +84,33 @@ def build_contact_setup(
     ground = terrain_height_fn(pos[:, 0], pos[:, 1])
     phi = pos[:, 2] - ground
 
-    # stacked point Jacobians (K,3,nv)
+    # stacked point Jacobians (K,3,nv), world x/y/z rows
     Jpts = jax.vmap(
         lambda mrow, x: point_jacobian(basis, mrow, x), in_axes=(0, 0)
     )(mask[body_idx], pos)
 
+    if frames_override is not None or terrain_grad_fn is not None:
+        # sloped contact frames: rotate each point's 3 rows into (t1, t2, n)
+        # and measure penetration along the normal (vertical gap x n_z).
+        # frames_override carries POLICY-STEP-START frames (all solver paths
+        # freeze frames across the decimation window, matching the mega
+        # kernel's step-start slope gather).
+        if frames_override is not None:
+            frames = frames_override
+        else:
+            gx, gy = terrain_grad_fn(pos[:, 0], pos[:, 1])
+            frames = terrain_contact_frames(gx, gy)  # (K,3,3)
+        Jpts = jnp.einsum("kdc,kcv->kdv", frames, Jpts)
+        phi_n = phi * frames[:, 2, 2]
+    else:
+        frames = None
+        phi_n = phi
+
     # normal-row bound b: v_n+ >= b
-    inactive = phi > contact_offset
-    b_pen = jnp.minimum(baumgarte * (-phi) / dt, max_depen_vel)  # push out
-    b_gap = -phi / dt  # allowed approach
-    lo = jnp.where(phi <= 0.0, b_pen, b_gap)
+    inactive = phi_n > contact_offset
+    b_pen = jnp.minimum(baumgarte * (-phi_n) / dt, max_depen_vel)  # push out
+    b_gap = -phi_n / dt  # allowed approach
+    lo = jnp.where(phi_n <= 0.0, b_pen, b_gap)
     lo = jnp.where(inactive, -1e9, lo)
 
     # joint-limit rows: one per joint, signed toward the nearer limit
@@ -86,6 +125,7 @@ def build_contact_setup(
         limit_sign=jnp.ones(model.nj, pos.dtype),
         phi=phi,
         pos_w=pos,
+        frames=frames,
     )
 
 
@@ -304,10 +344,13 @@ def resolve_contacts(
     baumgarte=0.2,
     compliance=0.0,
     lam0: jnp.ndarray | None = None,
+    terrain_grad_fn=None,
+    frames_override: jnp.ndarray | None = None,
 ) -> ContactResult:
     setup = build_contact_setup(
         model, dyn, terrain_height_fn, dt, contact_offset=contact_offset,
         max_depen_vel=max_depen_vel, baumgarte=baumgarte,
+        terrain_grad_fn=terrain_grad_fn, frames_override=frames_override,
     )
     sign, lb = joint_limit_bounds(model, qpos, dt)
     K = setup.phi.shape[0]
@@ -351,9 +394,13 @@ def resolve_contacts(
             A, u0, K, setup.lo_bound, sign, lb, mu, iterations, lam0=lam0
         )
     qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
+    imp = lam[: 3 * K].reshape(K, 3)
+    if setup.frames is not None:
+        # impulses live in the (t1, t2, n) frame — report world-frame
+        imp = jnp.einsum("kd,kdc->kc", imp, setup.frames)
     return ContactResult(
         qvel_new=qvel_new,
-        impulses=lam[: 3 * K].reshape(K, 3),
+        impulses=imp,
         phi=setup.phi,
         pos_w=setup.pos_w,
         lam=lam,

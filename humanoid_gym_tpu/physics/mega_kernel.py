@@ -83,11 +83,14 @@ IN_ROWS = 120  # 116 padded to sublane multiple
 
 # terrain second input (when built with a heightfield): per contact point a
 # 3x3 patch of the precomputed 3-tap-MIN grid (already in meters) sampled at
-# policy-step start, plus the patch origin in grid units
-IN2_PMIN = 0  # rows [kk*9 .. kk*9+8]
+# policy-step start (tap-major rows), the patch origin in grid units, and
+# the step-start terrain slope (dh/dx, dh/dy) for sloped contact frames
+IN2_PMIN = 0  # rows [(ii*3+jj)*K + kk]
 IN2_OX = 9 * N_POINTS  # 144 + kk
 IN2_OY = 10 * N_POINTS  # 160 + kk
-IN2_ROWS = 184  # 176 padded to sublane multiple
+IN2_GX = 11 * N_POINTS  # 176 + kk
+IN2_GY = 12 * N_POINTS  # 192 + kk
+IN2_ROWS = 208
 
 # model-constant input tile (same block for every grid step): per-body rows
 # for the STACKED body stage (pallas forbids captured array constants).
@@ -129,7 +132,8 @@ OUT_QPOS = 0
 OUT_QVEL = 19
 OUT_LAM = 37  # 60 rows (48 contact + 12 limit), physical signs
 OUT_TAU = 97
-OUT_ROWS = 112
+OUT_FF = 109  # 6 rows: per-foot WORLD-frame contact impulse sums (2 x xyz)
+OUT_ROWS = 120
 
 _NC3 = 3 * N_POINTS
 
@@ -723,6 +727,13 @@ def _build_mega_kernel(
             def inter3(a, b, c):  # per-point (x, y, z) -> interleaved rows
                 return jnp.stack([a, b, c], axis=1).reshape((_NC3,) + LS)
 
+            def cross_pt(a, b):  # 3-tuples of (K,)+LS (or scalar) values
+                return (
+                    a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0],
+                )
+
             Xz_abs = Xc[2] + pos0[2]
             if terrain:
                 # 3-tap-min heightfield lookup from the per-point 3x3
@@ -747,20 +758,51 @@ def _build_mega_kernel(
                         g_ = pm * ai * bj
                         ground = g_ if ground is None else ground + g_
                 phi = Xz_abs - ground
+                # sloped contact frames from the step-start terrain slope
+                # (PhysX-trimesh-normal capability analog): rows of each
+                # point's 3 constraint directions are (t1, t2, n) with
+                # n = normalize(-dh/dx, -dh/dy, 1); penetration is measured
+                # along the normal (vertical gap x n_z)
+                gx = in2[IN2_GX : IN2_GX + K]
+                gy = in2[IN2_GY : IN2_GY + K]
+                n_inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
+                n_d = (-gx * n_inv, -gy * n_inv, n_inv)
+                t1_inv = jax.lax.rsqrt(n_d[2] * n_d[2] + n_d[0] * n_d[0])
+                t1_d = (n_d[2] * t1_inv, zK, -n_d[0] * t1_inv)
+                t2_d = (  # n x t1 (t1_y = 0)
+                    n_d[1] * t1_d[2],
+                    n_d[2] * t1_d[0] - n_d[0] * t1_d[2],
+                    -n_d[1] * t1_d[0],
+                )
+                phi = phi * n_d[2]
             else:
-                phi = Xz_abs  # flat plane: ground height 0
+                phi = Xz_abs  # flat plane: ground height 0, identity frames
+                t1_d = t2_d = n_d = None
             b_pen = jnp.minimum(bmg * (-phi) * inv_dt, max_depen_vel)
             b_gap = -phi * inv_dt
             lo = jnp.where(phi <= 0.0, b_pen, b_gap)
             lo = jnp.where(phi > coffset, -1e9, lo)
             tgt_s[0:_NC3] = inter3(zK, zK, lo)
-            # J rows: base rotation columns e_c × X (X is base-relative)
             d0, d1, d2 = Xc
-            Jt_s[3, 0:_NC3] = inter3(zK, -d2, d1)
-            Jt_s[4, 0:_NC3] = inter3(d2, zK, -d0)
-            Jt_s[5, 0:_NC3] = inter3(-d1, d0, zK)
+            if terrain:
+                # base translation columns: the direction components
+                for c in range(3):
+                    Jt_s[c, 0:_NC3] = inter3(t1_d[c], t2_d[c], n_d[c])
+                # base rotation columns: (X × d)[c] per direction
+                xt1 = cross_pt(Xc, t1_d)
+                xt2 = cross_pt(Xc, t2_d)
+                xn = cross_pt(Xc, n_d)
+                for c in range(3):
+                    Jt_s[3 + c, 0:_NC3] = inter3(xt1[c], xt2[c], xn[c])
+            else:
+                # J rows: base rotation columns e_c × X (X base-relative);
+                # base-translation entries keep the constant init pattern
+                Jt_s[3, 0:_NC3] = inter3(zK, -d2, d1)
+                Jt_s[4, 0:_NC3] = inter3(d2, zK, -d0)
+                Jt_s[5, 0:_NC3] = inter3(-d1, d0, zK)
             # ancestor joint columns: a_j × (X − pivot_j), zero outside the
-            # joint's own foot-point run
+            # joint's own foot-point run; on terrain, projected onto the
+            # point's (t1, t2, n) directions
             for fb, a, b_ in groups:
                 Xg = [Xc[i][a:b_] for i in range(3)]
                 zpre = jnp.zeros((a,) + LS, f32) if a else None
@@ -773,6 +815,15 @@ def _build_mega_kernel(
                         ax_w[2] * rx_[0] - ax_w[0] * rx_[2],
                         ax_w[0] * rx_[1] - ax_w[1] * rx_[0],
                     )
+                    if terrain:
+                        dirs = []
+                        for dd in (t1_d, t2_d, n_d):
+                            dirs.append(
+                                col[0] * dd[0][a:b_]
+                                + col[1] * dd[1][a:b_]
+                                + col[2] * dd[2][a:b_]
+                            )
+                        col = dirs
                     full = [
                         jnp.concatenate(
                             [x for x in (zpre, col[i], zpost) if x is not None],
@@ -848,6 +899,25 @@ def _build_mega_kernel(
             nz = dw * qz + dx * qy - dy * qx + dz * qw
             qn = jax.lax.rsqrt(nw * nw + nx * nx + ny * ny + nz * nz)
 
+            # ---- per-foot WORLD-frame contact impulse sums (consumed by
+            # the env's stance detection / contact-force penalty) ----
+            ltri = lam[:_NC3].reshape((K, 3) + LS)
+            if terrain:
+                f_w = tuple(
+                    ltri[:, 0] * t1_d[c] + ltri[:, 1] * t2_d[c]
+                    + ltri[:, 2] * n_d[c]
+                    for c in range(3)
+                )
+            else:
+                f_w = (ltri[:, 0], ltri[:, 1], ltri[:, 2])
+            ff_rows = jnp.stack(
+                [
+                    jnp.sum(f_w[c][a:b_], axis=0)
+                    for fb, a, b_ in groups
+                    for c in range(3)
+                ]
+            )
+
             head = jnp.stack(
                 [
                     st[0] + dt * vx, st[1] + dt * vy, st[2] + dt * vz,
@@ -862,7 +932,8 @@ def _build_mega_kernel(
                     vj_st,
                     lam[:60],
                     tau_st,
-                    jnp.zeros((OUT_ROWS - OUT_TAU - nj,) + LS, jnp.float32),
+                    ff_rows,
+                    jnp.zeros((OUT_ROWS - OUT_FF - 6,) + LS, jnp.float32),
                 ],
                 axis=0,
             )
@@ -999,7 +1070,8 @@ def make_mega_step_batched(
     Signature: (qpos, qvel, friction, base_mass_scale, contact_stiffness,
     contact_offset, kp_scale, kd_scale, contact_compliance,
     lam0 (60,) warm-start impulses, targets) ->
-    (qpos_new, qvel_new, lam (60,), tau (nj,)).
+    (qpos_new, qvel_new, lam (60,), tau (nj,),
+     ff (6,) per-foot world-frame contact impulse sums).
     """
     from jax.custom_batching import custom_vmap
 
@@ -1051,11 +1123,24 @@ def make_mega_step_batched(
                 [Pg[ox + i, oy + j] for i in range(3) for j in range(3)],
                 axis=-1,
             )  # (N, 9*K)
+            # step-start terrain slope (matches terrain.make_grad_fn: central
+            # differences of the 3-tap-min grid) for sloped contact frames
+            mrow, mcol = Pg.shape
+            pxc = jnp.clip(px, 0, mrow - 1)
+            pyc = jnp.clip(py, 0, mcol - 1)
+            xp_ = jnp.minimum(pxc + 1, mrow - 1)
+            xm_ = jnp.maximum(pxc - 1, 0)
+            yp_ = jnp.minimum(pyc + 1, mcol - 1)
+            ym_ = jnp.maximum(pyc - 1, 0)
+            gx = (Pg[xp_, pyc] - Pg[xm_, pyc]) * (0.5 * t_inv_h)
+            gy = (Pg[pxc, yp_] - Pg[pxc, ym_]) * (0.5 * t_inv_h)
             return jnp.concatenate(
                 [
                     patch,
                     ox.astype(jnp.float32),
                     oy.astype(jnp.float32),
+                    gx,
+                    gy,
                 ],
                 axis=1,
             )
@@ -1079,8 +1164,27 @@ def make_mega_step_batched(
         height_fn = (
             make_height_fn(terrain_map) if terrain_map is not None else flat_height_fn
         )
+        if terrain_map is not None:
+            # policy-step-start contact frames, frozen across the decimation
+            # window (the kernel gathers the slope once per launch)
+            from ..terrain.terrain import make_grad_fn
+            from .contact import terrain_contact_frames
+
+            grad_fn = make_grad_fn(terrain_map)
+            xy0 = _contact_xy(qpos)
+            gx0, gy0 = grad_fn(xy0[:, 0], xy0[:, 1])
+            frames0 = terrain_contact_frames(gx0, gy0)
+        else:
+            frames0 = None
         implicit_d = kd_eff + model.dof_damping
         mass_scale = jnp.ones(model.nbody).at[0].set(bms)
+        cbody_np = list(model.contact_point_body)
+        foot_runs = []
+        _g0 = 0
+        for _kk in range(1, len(cbody_np) + 1):
+            if _kk == len(cbody_np) or cbody_np[_kk] != cbody_np[_g0]:
+                foot_runs.append((_g0, _kk))
+                _g0 = _kk
 
         @f32_matmul
         def substep(carry, _):
@@ -1097,7 +1201,7 @@ def make_mega_step_batched(
             setup = build_contact_setup(
                 model, dyn, height_fn, dt,
                 contact_offset=coff, max_depen_vel=max_depen_vel,
-                baumgarte=0.2 * cstiff,
+                baumgarte=0.2 * cstiff, frames_override=frames0,
             )
             sign, lb = joint_limit_bounds(model, qpos_c, dt)
             L = dyn.Mtilde_chol
@@ -1126,12 +1230,17 @@ def make_mega_step_batched(
             quat_new = S.quat_integrate(qpos_c[3:7], qvel_new[3:6], dt)
             qj_new = qpos_c[7:] + dt * qvel_new[6:]
             qpos_new = jnp.concatenate([pos_new, quat_new, qj_new])
-            return (qpos_new, qvel_new, lam), (tau,)
+            # per-foot WORLD-frame impulse sums (matches the kernel's OUT_FF)
+            imp = lam[: 3 * N_POINTS].reshape(N_POINTS, 3)
+            if setup.frames is not None:
+                imp = jnp.einsum("kd,kdc->kc", imp, setup.frames)
+            ff = jnp.concatenate([jnp.sum(imp[a:b_], axis=0) for a, b_ in foot_runs])
+            return (qpos_new, qvel_new, lam), (tau, ff)
 
-        (qpos_n, qvel_n, lam_n), (taus,) = jax.lax.scan(
+        (qpos_n, qvel_n, lam_n), (taus, ffs) = jax.lax.scan(
             substep, (qpos, qvel, lam0), None, length=decimation
         )
-        return qpos_n, qvel_n, lam_n, taus[-1]
+        return qpos_n, qvel_n, lam_n, taus[-1], ffs[-1]
 
     def batched(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, lam0, targets):
         packed = jnp.concatenate(
@@ -1150,6 +1259,7 @@ def make_mega_step_batched(
             out[:, OUT_QVEL:OUT_QVEL + NV],
             out[:, OUT_LAM:OUT_LAM + _NC3 + nj],
             out[:, OUT_TAU:OUT_TAU + nj],
+            out[:, OUT_FF:OUT_FF + 6],
         )
 
     @step.def_vmap
@@ -1174,10 +1284,10 @@ def make_mega_step_batched(
                 batched,
                 mesh=ambient,
                 in_specs=(spec,) * 11,
-                out_specs=(spec,) * 4,
+                out_specs=(spec,) * 5,
                 check_rep=False,
             )
         out = fn(*args)
-        return out, (True, True, True, True)
+        return out, (True, True, True, True, True)
 
     return step

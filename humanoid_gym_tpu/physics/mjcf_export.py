@@ -22,6 +22,7 @@ def model_to_mjcf(
     with_contacts: bool = False,
     friction: float = 0.7,
     joint_damping=None,
+    plane_zaxis=None,
 ) -> str:
     """with_contacts=True adds a ground plane + small spheres at the exact
     16 sole contact candidates, for trajectory-level contact oracles.
@@ -87,9 +88,16 @@ def model_to_mjcf(
         lines.append(f"{ind}</body>")
         return "\n".join(lines)
 
+    # optional tilted floor (slope oracles): plane through the origin with
+    # the given outward normal
+    zax = (
+        f' zaxis="{fmt(np.asarray(plane_zaxis, float))}"'
+        if plane_zaxis is not None
+        else ""
+    )
     plane = (
         f'    <geom name="floor" type="plane" size="50 50 1" '
-        f'friction="{friction:.10g} 0 0" condim="3"/>\n'
+        f'friction="{friction:.10g} 0 0" condim="3"{zax}/>\n'
         if with_contacts
         else ""
     )

@@ -96,13 +96,18 @@ def make_substep(
     solver_iterations: int = 24,
     max_depen_vel: float = 1.0,
     solver: str = "apgd",
+    terrain_grad_fn=None,
 ):
     """Returns substep(state, joint_targets) -> state (single env)."""
 
     nb = model.nbody
     body_idx = jnp.asarray(model.contact_point_body)
 
-    def substep(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
+    def substep(
+        state: PhysicsState,
+        targets: jnp.ndarray,
+        frames_override: jnp.ndarray | None = None,
+    ) -> PhysicsState:
         qpos, qvel = state.qpos, state.qvel
         # motor-strength DR scales the effective PD gains per env
         kp_eff = kp * state.kp_scale
@@ -132,6 +137,8 @@ def make_substep(
                 model, dyn, terrain_height_fn, dt, max_depen_vel=max_depen_vel,
                 baumgarte=0.2 * state.contact_stiffness,
                 contact_offset=state.contact_offset,
+                terrain_grad_fn=terrain_grad_fn,
+                frames_override=frames_override,
             )
             sign, lb = joint_limit_bounds(model, qpos, dt)
             D = jnp.concatenate([jnp.zeros(6, tau.dtype), implicit_d])
@@ -149,9 +156,12 @@ def make_substep(
                 state.friction, state.contact_compliance, state.contact_lam,
             )
             K = setup.phi.shape[0]
+            imp = lam[: 3 * K].reshape(K, 3)
+            if setup.frames is not None:
+                imp = jnp.einsum("kd,kdc->kc", imp, setup.frames)
             res = ContactResult(
                 qvel_new=qvel_new,
-                impulses=lam[: 3 * K].reshape(K, 3),
+                impulses=imp,
                 phi=setup.phi,
                 pos_w=setup.pos_w,
                 lam=lam,
@@ -173,6 +183,8 @@ def make_substep(
                 contact_offset=state.contact_offset,
                 compliance=state.contact_compliance,
                 lam0=state.contact_lam,
+                terrain_grad_fn=terrain_grad_fn,
+                frames_override=frames_override,
             )
         qvel_new = res.qvel_new
         # DOF velocity limits (PhysX clamps at maxVelocity; URDF <limit velocity>)
@@ -240,21 +252,42 @@ def make_physics_step(
             ),
         )
 
+        # contiguous per-foot runs of contact points -> foot body ids
+        _cb = list(model.contact_point_body)
+        foot_bodies = []
+        for b in _cb:
+            if not foot_bodies or foot_bodies[-1] != b:
+                foot_bodies.append(b)
+        foot_idx = jnp.asarray(foot_bodies)
+
         def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
-            qpos_new, qvel_new, lam, tau = mega(
+            qpos_new, qvel_new, lam, tau, ff = mega(
                 state.qpos, state.qvel, state.friction,
                 state.base_mass_scale, state.contact_stiffness,
                 state.contact_offset, state.kp_scale, state.kd_scale,
                 state.contact_compliance, state.contact_lam, targets,
             )
-            forces = lam[: 3 * K].reshape(K, 3) / sim_dt
-            cf = jnp.zeros((nb, 3), forces.dtype).at[body_idx].add(forces)
+            # ff: per-foot WORLD-frame impulse sums (frame-correct on sloped
+            # terrain, where raw lam rows live in per-point (t1, t2, n))
+            forces = ff.reshape(len(foot_bodies), 3) / sim_dt
+            cf = jnp.zeros((nb, 3), forces.dtype).at[foot_idx].add(forces)
             return state.replace(
                 qpos=qpos_new, qvel=qvel_new, contact_forces=cf, torques=tau,
                 contact_lam=lam,
             )
 
         return step
+
+    # sloped contact frames on heightfield terrain (PhysX-trimesh-normal
+    # capability analog); flat terrain keeps identity frames at zero cost
+    terrain_grad_fn = None
+    if terrain_map is not None:
+        from ..terrain.terrain import flat_height_fn as _flat
+
+        if terrain_height_fn is not _flat:
+            from ..terrain.terrain import make_grad_fn
+
+            terrain_grad_fn = make_grad_fn(terrain_map)
 
     substep = make_substep(
         model,
@@ -265,7 +298,41 @@ def make_physics_step(
         terrain_height_fn,
         solver_iterations,
         solver=solver,
+        terrain_grad_fn=terrain_grad_fn,
     )
+
+    if terrain_grad_fn is not None:
+        # policy-step-start contact frames, frozen across the decimation
+        # window in EVERY solver path (exactly the mega kernel's semantics:
+        # slope gathered once per launch). 10 ms of frame staleness is
+        # negligible; identical semantics keep the paths equivalence-testable.
+        from .contact import terrain_contact_frames
+        from .kinematics import f32_matmul, fk
+
+        body_idx_f = jnp.asarray(model.contact_point_body)
+        offs_f = model.contact_point_offset
+
+        @f32_matmul
+        def _frames_at(qpos):
+            k = fk(model, qpos)
+            pos = k.p[body_idx_f] + jnp.einsum(
+                "kij,kj->ki", k.R[body_idx_f], offs_f
+            )
+            gx, gy = terrain_grad_fn(pos[:, 0], pos[:, 1])
+            return terrain_contact_frames(gx, gy)
+
+        def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
+            frames0 = _frames_at(state.qpos)
+
+            def body(st, _):
+                return substep(st, targets, frames0), None
+
+            out, _ = jax.lax.scan(
+                body, state, None, length=decimation, unroll=unroll
+            )
+            return out
+
+        return step
 
     def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
         def body(st, _):

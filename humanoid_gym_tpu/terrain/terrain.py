@@ -199,6 +199,42 @@ def make_height_fn(tmap: TerrainMap):
     return height_fn
 
 
+def make_grad_fn(tmap: TerrainMap):
+    """Pure JAX terrain slope lookup (dh/dx, dh/dy) at world (x, y).
+
+    Central differences of the same 3-tap-min grid `make_height_fn` reads
+    (so the contact frames tilt consistently with the height the solver
+    sees). Used to build sloped contact normals — the capability analog of
+    PhysX trimesh contact normals (the reference's terrain training,
+    legged_robot.py:543-586 trimesh path, feels true surface normals;
+    a vertical-normal heightfield does not decelerate a foot landing on an
+    up-slope and overstates friction capacity on steep cells)."""
+    import jax.numpy as jnp
+
+    hf = jnp.asarray(tmap.height_field, jnp.float32)
+    mn = jnp.minimum(
+        jnp.minimum(hf[:-1, :-1], hf[1:, :-1]), hf[:-1, 1:]
+    )  # 3-tap-min grid, units of vertical_scale
+    inv_h = 1.0 / tmap.horizontal_scale
+    border = tmap.border_size
+    vscale = tmap.vertical_scale
+    nrow, ncol = mn.shape
+
+    def grad_fn(x: "jnp.ndarray", y: "jnp.ndarray"):
+        px = jnp.clip(((x + border) * inv_h).astype(jnp.int32), 0, nrow - 1)
+        py = jnp.clip(((y + border) * inv_h).astype(jnp.int32), 0, ncol - 1)
+        xp = jnp.minimum(px + 1, nrow - 1)
+        xm = jnp.maximum(px - 1, 0)
+        yp = jnp.minimum(py + 1, ncol - 1)
+        ym = jnp.maximum(py - 1, 0)
+        scale = 0.5 * inv_h * vscale
+        gx = (mn[xp, py] - mn[xm, py]) * scale
+        gy = (mn[px, yp] - mn[px, ym]) * scale
+        return gx, gy
+
+    return grad_fn
+
+
 def flat_height_fn(x, y):
     """Plane terrain (reference mesh_type='plane', XBot default)."""
     import jax.numpy as jnp
