@@ -30,7 +30,33 @@ apply_platform_env()
 NOMINAL_REFERENCE_FPS = 60_000.0
 
 
+def _probe_backend(timeout_s: float = 180.0):
+    """Fail fast (instead of hanging forever) when the TPU tunnel is down:
+    jax.devices() blocks indefinitely if the axon relay died. Probe it on a
+    daemon thread with a deadline."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(
+            f"bench: backend init did not complete within {timeout_s:.0f}s "
+            "— accelerator tunnel down?",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
+
 def main():
+    _probe_backend()
     import jax
     import jax.numpy as jnp
 
