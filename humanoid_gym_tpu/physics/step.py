@@ -230,7 +230,8 @@ def make_physics_step(
     less while-loop overhead on TPU.
 
     solver="mega" dispatches the whole decimation loop to ONE Pallas
-    launch (mega_kernel.py) — flat-plane terrain only."""
+    launch (mega_kernel.py); heightfield terrain rides in-kernel slope/
+    height patches gathered at policy-step start."""
 
     if solver.startswith("mega"):
         from ..terrain.terrain import flat_height_fn
@@ -241,8 +242,6 @@ def make_physics_step(
             "in-kernel heightfield patches); use fused_pallas otherwise"
         )
         nb = model.nbody
-        K = model.ncon
-        body_idx = jnp.asarray(model.contact_point_body)
         mega = make_mega_step_batched(
             model, sim_dt, decimation, kp, kd, torque_limit,
             iterations=solver_iterations,

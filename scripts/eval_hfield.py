@@ -64,6 +64,9 @@ def eval_ckpt(ckpt_path: str, rollouts: int, duration: float):
         "rollouts": rollouts,
         "mean_distance_x": round(float(np.mean(dists)), 3),
         "duration_s": duration,
+        # spawn-varied rollouts + local-ground fall detection; lines without
+        # this field predate the honest protocol (2 distinct rollouts only)
+        "protocol": "spawn_v2",
     }
 
 
