@@ -24,10 +24,15 @@ F = (m v_o + ω×s, I_o ω + s×v_o) and M[i,j] = S_j ∘ F_i = ω_j·τ + v_j·
 with F computed from the DEEPER column's composite. Cross-leg blocks are
 structurally zero and never touched.
 
-Scope: flat-plane terrain only (ground height ≡ 0; heightfield tasks use
-the `fused_pallas` path — an in-kernel per-lane heightfield gather has no
-Mosaic lowering). Physics capability replaced: Isaac Gym PhysX `gym.simulate`
-decimation loop (reference legged_robot.py:94-102, humanoid_config.py:131-147).
+Terrain: heightfield tasks run IN-KERNEL — each contact point carries a 3x3
+patch of the precomputed 3-tap-min height grid plus the local slope,
+gathered in XLA at policy-step start (an in-kernel per-lane heightfield
+gather has no Mosaic lowering); contacts resolve along the sloped surface
+normal (frames (t1, t2, n) from the slope, frozen across the decimation
+window). The contact solve warm-starts from the previous substep's
+impulses carried in the state rows. Physics capability replaced: Isaac Gym
+PhysX `gym.simulate` decimation loop (reference legged_robot.py:94-102,
+humanoid_config.py:131-147) including trimesh-style contact normals.
 """
 
 from __future__ import annotations
