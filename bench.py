@@ -68,66 +68,88 @@ def main():
     num_envs = int(os.environ.get("HGT_BENCH_ENVS", 4096))
     iters = int(os.environ.get("HGT_BENCH_ITERS", 3))
 
-    cfg = XBotLCfg()
-    cfg.env.num_envs = num_envs
     # the mega kernel (whole decimation loop in one Pallas launch) is the
-    # production solver on TPU; XLA apgd on CPU; HGT_SOLVER overrides
+    # production solver on TPU; XLA apgd on CPU; HGT_SOLVER overrides.
+    # If the requested solver fails to build/compile (e.g. a Mosaic
+    # regression on a new toolchain), fall back down the ladder so the
+    # bench reports a working configuration instead of nothing.
     default_solver = "mega" if jax.default_backend() != "cpu" else "apgd"
-    cfg.sim.solver.solver_type = os.environ.get("HGT_SOLVER", default_solver)
-    tcfg = XBotLCfgPPO()
-    env = make_env(cfg)
-    net = ActorCritic(
-        num_actions=cfg.env.num_actions,
-        actor_hidden=tuple(tcfg.policy.actor_hidden_dims),
-        critic_hidden=tuple(tcfg.policy.critic_hidden_dims),
-    )
-    algo_cfg = PPOConfig.from_cfg(tcfg.algorithm)
-    algo_cfg.num_steps_per_env = tcfg.runner.num_steps_per_env
-    T = algo_cfg.num_steps_per_env
+    requested = os.environ.get("HGT_SOLVER", default_solver)
+    ladder = [requested]
+    for fb in ("fused_pallas", "apgd"):
+        if fb not in ladder:
+            ladder.append(fb)
 
-    key = jax.random.PRNGKey(0)
-    k_init, k_env, key = jax.random.split(key, 3)
-    ts = init_train_state(
-        k_init, net, cfg.env.num_observations, cfg.env.num_privileged_obs,
-        algo_cfg.learning_rate,
-    )
-    keys = jax.random.split(k_env, num_envs)
-    # jit is load-bearing: eager vmap dispatch at 4096 envs takes ~25 min
-    state = jax.jit(env.init_state)(keys, jnp.arange(num_envs))
-    obs = jnp.zeros((num_envs, cfg.env.num_observations))
-    priv = jnp.zeros((num_envs, cfg.env.num_privileged_obs))
+    def run_with_solver(solver):
+        cfg = XBotLCfg()
+        cfg.env.num_envs = num_envs
+        cfg.sim.solver.solver_type = solver
+        tcfg = XBotLCfgPPO()
+        env = make_env(cfg)
+        net = ActorCritic(
+            num_actions=cfg.env.num_actions,
+            actor_hidden=tuple(tcfg.policy.actor_hidden_dims),
+            critic_hidden=tuple(tcfg.policy.critic_hidden_dims),
+        )
+        algo_cfg = PPOConfig.from_cfg(tcfg.algorithm)
+        algo_cfg.num_steps_per_env = tcfg.runner.num_steps_per_env
+        T = algo_cfg.num_steps_per_env
 
-    train_iter = jax.jit(
-        make_train_iter(env, net, algo_cfg, num_envs), donate_argnums=(0, 1)
-    )
+        key = jax.random.PRNGKey(0)
+        k_init, k_env, key = jax.random.split(key, 3)
+        ts = init_train_state(
+            k_init, net, cfg.env.num_observations, cfg.env.num_privileged_obs,
+            algo_cfg.learning_rate,
+        )
+        keys = jax.random.split(k_env, num_envs)
+        # jit is load-bearing: eager vmap dispatch at 4096 envs takes ~25 min
+        state = jax.jit(env.init_state)(keys, jnp.arange(num_envs))
+        obs = jnp.zeros((num_envs, cfg.env.num_observations))
+        priv = jnp.zeros((num_envs, cfg.env.num_privileged_obs))
 
-    # compile + runtime warmup (the tunnel runtime takes a few iterations to
-    # reach steady state; sustained training fps is the ground truth)
-    t0 = time.time()
-    for _ in range(3):
-        key, k = jax.random.split(key)
-        ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
-        jax.block_until_ready(metrics["value_loss"])
-    compile_s = time.time() - t0
+        train_iter = jax.jit(
+            make_train_iter(env, net, algo_cfg, num_envs), donate_argnums=(0, 1)
+        )
 
-    profile_dir = os.environ.get("HGT_BENCH_PROFILE")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-    times = []
-    for _ in range(iters):
-        key, k = jax.random.split(key)
+        # compile + runtime warmup (the tunnel runtime takes a few
+        # iterations to reach steady state; sustained fps is ground truth)
         t0 = time.time()
-        ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
-        jax.block_until_ready(metrics["value_loss"])
-        times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]  # median iteration
-    if profile_dir:
-        jax.profiler.stop_trace()
-        print(f"# profile trace written to {profile_dir}", file=sys.stderr)
+        for _ in range(3):
+            key, k = jax.random.split(key)
+            ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
+            jax.block_until_ready(metrics["value_loss"])
+        compile_s = time.time() - t0
+
+        profile_dir = os.environ.get("HGT_BENCH_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        times = []
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            t0 = time.time()
+            ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
+            jax.block_until_ready(metrics["value_loss"])
+            times.append(time.time() - t0)
+        dt = sorted(times)[len(times) // 2]  # median iteration
+        if profile_dir:
+            jax.profiler.stop_trace()
+            print(f"# profile trace written to {profile_dir}", file=sys.stderr)
+        return T, dt, compile_s
+
+    last_err = None
+    for solver in ladder:
+        try:
+            T, dt, compile_s = run_with_solver(solver)
+            break
+        except Exception as e:  # noqa: BLE001 — report and try the next rung
+            last_err = e
+            print(f"# bench: solver {solver!r} failed: {e}", file=sys.stderr)
+    else:
+        raise SystemExit(f"bench: every solver failed; last error: {last_err}")
 
     fps = T * num_envs / dt
     print(
-        f"# bench: {num_envs} envs, T={T}, iter_time {dt:.3f}s, "
+        f"# bench: {num_envs} envs, T={T}, solver={solver}, iter_time {dt:.3f}s, "
         f"compile {compile_s:.1f}s, device={jax.devices()[0].platform}",
         file=sys.stderr,
     )

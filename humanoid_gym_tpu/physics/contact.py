@@ -389,10 +389,12 @@ def resolve_contacts(
         )
         lam0_arr = jnp.zeros(nrow_, A.dtype) if lam0 is None else lam0
         lam = solve(A, u0, setup.lo_bound, sign, lb, mu, step_bound, lam0_arr)
-    else:
+    elif solver == "pgs":
         lam = pgs_solve(
             A, u0, K, setup.lo_bound, sign, lb, mu, iterations, lam0=lam0
         )
+    else:
+        raise ValueError(f"unknown contact solver {solver!r}")
     qvel_new = v_free + solve_upper_unrolled(L.T, B @ lam)
     imp = lam[: 3 * K].reshape(K, 3)
     if setup.frames is not None:
