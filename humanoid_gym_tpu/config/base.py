@@ -164,6 +164,12 @@ class DomainRandCfg:
     # policies that overfit the exact contact/actuation loop timing)
     randomize_motor_strength: bool = False
     motor_strength_range: List[float] = _f(lambda: [0.8, 1.2])
+    # contact-slope DR (EXTENSION; terrain tasks only): per-env bias added
+    # to the terrain gradient the sloped contact frames are built from —
+    # the slope analog of the contact-model DR family. Range is in height
+    # gradient units (0.1 ~ 5.7 deg of normal tilt).
+    randomize_contact_slope: bool = False
+    contact_slope_range: List[float] = _f(lambda: [-0.12, 0.12])
 
 
 @dataclass

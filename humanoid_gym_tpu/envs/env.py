@@ -311,8 +311,8 @@ class HumanoidEnv:
         cfg = self.cfg
         (
             k_fric, k_bucket, k_mass, k_cmd, k_phys, k_lvl, k_cstiff,
-            k_coff, k_motor, k_comp, k_state,
-        ) = jax.random.split(key, 11)
+            k_coff, k_motor, k_comp, k_slope, k_state,
+        ) = jax.random.split(key, 12)
 
         if cfg.domain_rand.randomize_friction:
             lo, hi = cfg.domain_rand.friction_range
@@ -389,6 +389,12 @@ class HumanoidEnv:
             kp_scale = jnp.asarray(1.0)
             kd_scale = jnp.asarray(1.0)
 
+        if cfg.domain_rand.randomize_contact_slope:
+            lo, hi = cfg.domain_rand.contact_slope_range
+            slope_bias = jax.random.uniform(k_slope, (2,), minval=lo, maxval=hi)
+        else:
+            slope_bias = jnp.zeros(2)
+
         qpos, qvel = self._reset_phys(k_phys, origin)
         phys = PhysicsState(
             qpos=qpos,
@@ -403,6 +409,7 @@ class HumanoidEnv:
             contact_forces=jnp.zeros((m.nbody, 3)),
             torques=jnp.zeros(m.nj),
             contact_lam=jnp.zeros(3 * m.ncon + m.nj),
+            slope_bias=slope_bias,
         )
         quat = qpos[3:7]
         na, nj = self.num_actions, m.nj

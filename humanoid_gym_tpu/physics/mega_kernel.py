@@ -87,9 +87,10 @@ IN_LAM = 56  # warm-start impulses from the previous policy step (60 rows)
 IN_ROWS = 120  # 116 padded to sublane multiple
 
 # terrain second input (when built with a heightfield): per contact point a
-# 3x3 patch of the precomputed 3-tap-MIN grid (already in meters) sampled at
-# policy-step start (tap-major rows), the patch origin in grid units, and
-# the step-start terrain slope (dh/dx, dh/dy) for sloped contact frames
+# 3x3 NODE patch of the raw height grid (meters) around the point's
+# step-start node (tap-major rows) for BILINEAR in-kernel contact heights,
+# the patch origin in grid units, and the step-start terrain slope
+# (dh/dx, dh/dy) for sloped contact frames
 IN2_PMIN = 0  # rows [(ii*3+jj)*K + kk]
 IN2_OX = 9 * N_POINTS  # 144 + kk
 IN2_OY = 10 * N_POINTS  # 160 + kk
@@ -741,27 +742,46 @@ def _build_mega_kernel(
 
             Xz_abs = Xc[2] + pos0[2]
             if terrain:
-                # 3-tap-min heightfield lookup from the per-point 3x3
-                # min-grid patches (component-major rows; the patch window
-                # tracks the point's step-start cell +-1 — a foot leaving it
-                # within 10 ms clamps to the window edge)
-                fx = (Xc[0] + pos0[0] + terr_border) * terr_inv_h
-                fy = (Xc[1] + pos0[1] + terr_border) * terr_inv_h
-                pxg = jnp.clip(jnp.floor(fx), 0.0, terr_nrow - 2.0)
-                pyg = jnp.clip(jnp.floor(fy), 0.0, terr_ncol - 2.0)
-                rx = jnp.clip(pxg - in2[IN2_OX : IN2_OX + K], 0.0, 2.0)
-                ry = jnp.clip(pyg - in2[IN2_OY : IN2_OY + K], 0.0, 2.0)
-                ground = None
-                for ii in range(3):
-                    ai = jnp.where(rx == float(ii), 1.0, 0.0)
-                    for jj in range(3):
-                        bj = jnp.where(ry == float(jj), 1.0, 0.0)
-                        pm = in2[
-                            IN2_PMIN + (ii * 3 + jj) * K :
-                            IN2_PMIN + (ii * 3 + jj + 1) * K
-                        ]
-                        g_ = pm * ai * bj
-                        ground = g_ if ground is None else ground + g_
+                # BILINEAR heightfield lookup from the per-point 3x3 raw
+                # node patches (component-major rows; the 2-cell window
+                # tracks the point's step-start node +-1 — a foot leaving
+                # it within 10 ms clamps to the window edge). Bilinear =
+                # the continuous surface MuJoCo/PhysX feet feel; the
+                # reference's 3-tap-min floor lookup stays the OBSERVATION
+                # contract but as contact geometry it terraces every slope.
+                fx = jnp.clip(
+                    (Xc[0] + pos0[0] + terr_border) * terr_inv_h,
+                    0.0, terr_nrow - 1.001,
+                )
+                fy = jnp.clip(
+                    (Xc[1] + pos0[1] + terr_border) * terr_inv_h,
+                    0.0, terr_ncol - 1.001,
+                )
+                u = jnp.clip(fx - in2[IN2_OX : IN2_OX + K], 0.0, 1.999)
+                v = jnp.clip(fy - in2[IN2_OY : IN2_OY + K], 0.0, 1.999)
+                iu = jnp.floor(u)
+                iv = jnp.floor(v)
+                fu = u - iu
+                fv = v - iv
+                ohv0 = jnp.where(iv == 0.0, 1.0, 0.0)
+                ohv1 = 1.0 - ohv0
+
+                def prow(a, b):  # node (a, b) of the 3x3 patch
+                    return in2[
+                        IN2_PMIN + (a * 3 + b) * K :
+                        IN2_PMIN + (a * 3 + b + 1) * K
+                    ]
+
+                hy = []
+                for a in range(3):
+                    lo = ohv0 * prow(a, 0) + ohv1 * prow(a, 1)
+                    hi = ohv0 * prow(a, 1) + ohv1 * prow(a, 2)
+                    hy.append((1.0 - fv) * lo + fv * hi)
+                ohu0 = jnp.where(iu == 0.0, 1.0, 0.0)
+                ohu1 = 1.0 - ohu0
+                h_lo = ohu0 * hy[0] + ohu1 * hy[1]
+                h_hi = ohu0 * hy[1] + ohu1 * hy[2]
+                ground = (1.0 - fu) * h_lo + fu * h_hi
                 phi = Xz_abs - ground
                 # sloped contact frames from the step-start terrain slope
                 # (PhysX-trimesh-normal capability analog): rows of each
@@ -1087,14 +1107,10 @@ def make_mega_step_batched(
     nj = model.nj
 
     if terrain_map is not None:
-        # precomputed 3-tap-min grid: height_fn(x, y) ==
-        # Pg[px, py] with px = clip(floor((x+border)/h), 0, nrow-2)
+        # RAW height grid in meters (bilinear contact surface; the 3-tap-min
+        # floor lookup remains the env's OBSERVATION contract)
         hf = np.asarray(terrain_map.height_field, np.float32)
-        Pg_np = (
-            np.minimum(np.minimum(hf[:-1, :-1], hf[1:, :-1]), hf[:-1, 1:])
-            * float(terrain_map.vertical_scale)
-        )
-        Pg = jnp.asarray(Pg_np)
+        Pg = jnp.asarray(hf * float(terrain_map.vertical_scale))
         t_border = float(terrain_map.border_size)
         t_inv_h = 1.0 / float(terrain_map.horizontal_scale)
         t_nrow, t_ncol = hf.shape
@@ -1110,35 +1126,34 @@ def make_mega_step_batched(
             pos = k.p[cbody] + jnp.einsum("kij,kj->ki", k.R[cbody], coff)
             return pos[:, :2]
 
-        def terrain_patches(qpos):  # (N, nq) -> (N, 176)
+        def terrain_patches(qpos, sbias):  # (N, nq), (N, 2) -> (N, IN2 rows)
             xy = jax.vmap(_contact_xy)(qpos)  # (N, K, 2)
-            px = jnp.clip(
-                jnp.floor((xy[..., 0] + t_border) * t_inv_h).astype(jnp.int32),
-                0, t_nrow - 2,
-            )
-            py = jnp.clip(
-                jnp.floor((xy[..., 1] + t_border) * t_inv_h).astype(jnp.int32),
-                0, t_ncol - 2,
-            )
-            ox = jnp.clip(px - 1, 0, t_nrow - 4)
-            oy = jnp.clip(py - 1, 0, t_ncol - 4)
+            gxf = jnp.clip((xy[..., 0] + t_border) * t_inv_h, 0.0, t_nrow - 1.001)
+            gyf = jnp.clip((xy[..., 1] + t_border) * t_inv_h, 0.0, t_ncol - 1.001)
+            px = gxf.astype(jnp.int32)
+            py = gyf.astype(jnp.int32)
+            # 3x3 NODE window around the step-start node (2 bilinear cells)
+            ox = jnp.clip(px - 1, 0, t_nrow - 3)
+            oy = jnp.clip(py - 1, 0, t_ncol - 3)
             # tap-major rows ((ii*3+jj)*K + kk) so the kernel's STACKED
             # lookup slices one contiguous (K,)+LS row block per tap
             patch = jnp.concatenate(
                 [Pg[ox + i, oy + j] for i in range(3) for j in range(3)],
                 axis=-1,
             )  # (N, 9*K)
-            # step-start terrain slope (matches terrain.make_grad_fn: central
-            # differences of the 3-tap-min grid) for sloped contact frames
-            mrow, mcol = Pg.shape
-            pxc = jnp.clip(px, 0, mrow - 1)
-            pyc = jnp.clip(py, 0, mcol - 1)
-            xp_ = jnp.minimum(pxc + 1, mrow - 1)
-            xm_ = jnp.maximum(pxc - 1, 0)
-            yp_ = jnp.minimum(pyc + 1, mcol - 1)
-            ym_ = jnp.maximum(pyc - 1, 0)
-            gx = (Pg[xp_, pyc] - Pg[xm_, pyc]) * (0.5 * t_inv_h)
-            gy = (Pg[pxc, yp_] - Pg[pxc, ym_]) * (0.5 * t_inv_h)
+            # step-start slope of the BILINEAR cell (matches
+            # terrain.make_grad_fn) for the sloped contact frames
+            fx = gxf - px
+            fy = gyf - py
+            h00 = Pg[px, py]
+            h10 = Pg[px + 1, py]
+            h01 = Pg[px, py + 1]
+            h11 = Pg[px + 1, py + 1]
+            # contact-slope DR: per-env gradient bias tilts the frames only
+            gx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) * t_inv_h
+            gy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) * t_inv_h
+            gx = gx + sbias[:, 0:1]
+            gy = gy + sbias[:, 1:2]
             return jnp.concatenate(
                 [
                     patch,
@@ -1153,9 +1168,9 @@ def make_mega_step_batched(
         terr = None
 
     @custom_vmap
-    def step(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, lam0, targets):
+    def step(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, lam0, sbias, targets):
         # single-env XLA fallback (same math as the kernel)
-        from ..terrain.terrain import flat_height_fn, make_height_fn
+        from ..terrain.terrain import flat_height_fn
         from .contact import (
             apgd_solve, build_contact_setup, joint_limit_bounds,
         )
@@ -1166,9 +1181,12 @@ def make_mega_step_batched(
 
         kp_eff = kp_j * kps
         kd_eff = kd_j * kds
-        height_fn = (
-            make_height_fn(terrain_map) if terrain_map is not None else flat_height_fn
-        )
+        if terrain_map is not None:
+            from ..terrain.terrain import make_contact_height_fn
+
+            height_fn = make_contact_height_fn(terrain_map)
+        else:
+            height_fn = flat_height_fn
         if terrain_map is not None:
             # policy-step-start contact frames, frozen across the decimation
             # window (the kernel gathers the slope once per launch)
@@ -1178,7 +1196,7 @@ def make_mega_step_batched(
             grad_fn = make_grad_fn(terrain_map)
             xy0 = _contact_xy(qpos)
             gx0, gy0 = grad_fn(xy0[:, 0], xy0[:, 1])
-            frames0 = terrain_contact_frames(gx0, gy0)
+            frames0 = terrain_contact_frames(gx0 + sbias[0], gy0 + sbias[1])
         else:
             frames0 = None
         implicit_d = kd_eff + model.dof_damping
@@ -1247,13 +1265,13 @@ def make_mega_step_batched(
         )
         return qpos_n, qvel_n, lam_n, taus[-1], ffs[-1]
 
-    def batched(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, lam0, targets):
+    def batched(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, lam0, sbias, targets):
         packed = jnp.concatenate(
             [qpos, qvel, targets, fric[:, None], bms[:, None], cstiff[:, None],
              coff[:, None], kps[:, None], kds[:, None], comp[:, None], lam0],
             axis=1,
         ).astype(jnp.float32)
-        packed2 = terrain_patches(qpos) if terr is not None else None
+        packed2 = terrain_patches(qpos, sbias) if terr is not None else None
         out = _mega_call(
             packed, packed2, sm, float(dt), int(decimation), int(iterations),
             float(contact_offset), float(max_depen_vel), bool(interpret),
@@ -1288,7 +1306,7 @@ def make_mega_step_batched(
             fn = shard_map(
                 batched,
                 mesh=ambient,
-                in_specs=(spec,) * 11,
+                in_specs=(spec,) * 12,
                 out_specs=(spec,) * 5,
                 check_rep=False,
             )

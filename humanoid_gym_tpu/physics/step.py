@@ -47,6 +47,13 @@ class PhysicsState:
     # across 1 ms substeps AND 10 ms policy steps while in stance). Zeroed
     # on env reset.
     contact_lam: jnp.ndarray
+    # contact-slope DR: per-env bias (2,) added to the terrain gradient
+    # (dh/dx, dh/dy) the contact FRAMES are built from — policies cannot
+    # exploit exact slope-contact detail (the slope analog of the
+    # stiffness/offset/compliance contact-model DR; measured: policies that
+    # survive their training engine's slopes fall on MuJoCo's). Inert on
+    # flat terrain and at zeros.
+    slope_bias: jnp.ndarray
 
 
 def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> PhysicsState:
@@ -66,6 +73,7 @@ def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> Physi
         contact_forces=jnp.zeros((nb, 3)),
         torques=jnp.zeros(njnt),
         contact_lam=jnp.zeros(3 * model.ncon + njnt),
+        slope_bias=jnp.zeros(2),
     )
 
 
@@ -264,7 +272,8 @@ def make_physics_step(
                 state.qpos, state.qvel, state.friction,
                 state.base_mass_scale, state.contact_stiffness,
                 state.contact_offset, state.kp_scale, state.kd_scale,
-                state.contact_compliance, state.contact_lam, targets,
+                state.contact_compliance, state.contact_lam,
+                state.slope_bias, targets,
             )
             # ff: per-foot WORLD-frame impulse sums (frame-correct on sloped
             # terrain, where raw lam rows live in per-point (t1, t2, n))
@@ -277,15 +286,20 @@ def make_physics_step(
 
         return step
 
-    # sloped contact frames on heightfield terrain (PhysX-trimesh-normal
-    # capability analog); flat terrain keeps identity frames at zero cost
+    # Heightfield CONTACT geometry: the bilinear surface + sloped frames
+    # (PhysX-trimesh capability analog). The passed terrain_height_fn keeps
+    # the reference's 3-tap-min OBSERVATION semantics in the env layer; as
+    # contact geometry that lookup is piecewise-constant (10 cm terraces —
+    # feet never land on an actual slope), so contacts resolve against the
+    # continuous bilinear surface instead. Flat terrain: zero cost.
     terrain_grad_fn = None
     if terrain_map is not None:
         from ..terrain.terrain import flat_height_fn as _flat
 
         if terrain_height_fn is not _flat:
-            from ..terrain.terrain import make_grad_fn
+            from ..terrain.terrain import make_contact_height_fn, make_grad_fn
 
+            terrain_height_fn = make_contact_height_fn(terrain_map)
             terrain_grad_fn = make_grad_fn(terrain_map)
 
     substep = make_substep(
@@ -312,16 +326,18 @@ def make_physics_step(
         offs_f = model.contact_point_offset
 
         @f32_matmul
-        def _frames_at(qpos):
+        def _frames_at(qpos, slope_bias):
             k = fk(model, qpos)
             pos = k.p[body_idx_f] + jnp.einsum(
                 "kij,kj->ki", k.R[body_idx_f], offs_f
             )
             gx, gy = terrain_grad_fn(pos[:, 0], pos[:, 1])
-            return terrain_contact_frames(gx, gy)
+            return terrain_contact_frames(
+                gx + slope_bias[0], gy + slope_bias[1]
+            )
 
         def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
-            frames0 = _frames_at(state.qpos)
+            frames0 = _frames_at(state.qpos, state.slope_bias)
 
             def body(st, _):
                 return substep(st, targets, frames0), None

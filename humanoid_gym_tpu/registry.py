@@ -141,6 +141,9 @@ def _register_builtin():
         cfg.domain_rand.randomize_contact_stiffness = True
         cfg.domain_rand.randomize_contact_offset = True
         cfg.domain_rand.randomize_contact_compliance = True
+        # slope analog of the contact-model DR: policies must not exploit
+        # exact slope-contact detail (docs/ROUND2.md footing forensics)
+        cfg.domain_rand.randomize_contact_slope = True
         return cfg
 
     def rubble_ppo():

@@ -276,37 +276,69 @@ def make_height_fn(tmap: TerrainMap):
     return height_fn
 
 
-def make_grad_fn(tmap: TerrainMap):
-    """Pure JAX terrain slope lookup (dh/dx, dh/dy) at world (x, y).
+def make_contact_height_fn(tmap: TerrainMap):
+    """Pure JAX BILINEAR terrain height for CONTACT resolution.
 
-    Central differences of the same 3-tap-min grid `make_height_fn` reads
-    (so the contact frames tilt consistently with the height the solver
-    sees). Used to build sloped contact normals — the capability analog of
-    PhysX trimesh contact normals (the reference's terrain training,
-    legged_robot.py:543-586 trimesh path, feels true surface normals;
-    a vertical-normal heightfield does not decelerate a foot landing on an
-    up-slope and overstates friction capacity on steep cells)."""
+    The reference's 3-tap-min floor-indexed lookup (`make_height_fn`) is
+    the frozen contract for OBSERVATION heights (legged_robot.py:782-795),
+    but as contact geometry it turns every slope into 10 cm terraces —
+    feet always land on locally flat mini-ledges, which hides slope
+    dynamics entirely (measured: policies that fall on the MuJoCo hfield
+    survive terraced in-engine replicas). Contacts use the continuous
+    bilinear surface instead — the same family as MuJoCo's triangulated
+    hfield prisms and PhysX trimesh collision."""
     import jax.numpy as jnp
 
-    hf = jnp.asarray(tmap.height_field, jnp.float32)
-    mn = jnp.minimum(
-        jnp.minimum(hf[:-1, :-1], hf[1:, :-1]), hf[:-1, 1:]
-    )  # 3-tap-min grid, units of vertical_scale
+    hf = jnp.asarray(tmap.height_field, jnp.float32) * tmap.vertical_scale
     inv_h = 1.0 / tmap.horizontal_scale
     border = tmap.border_size
-    vscale = tmap.vertical_scale
-    nrow, ncol = mn.shape
+    nrow, ncol = tmap.height_field.shape
+
+    def height_fn(x: "jnp.ndarray", y: "jnp.ndarray") -> "jnp.ndarray":
+        gx = jnp.clip((x + border) * inv_h, 0.0, nrow - 1.001)
+        gy = jnp.clip((y + border) * inv_h, 0.0, ncol - 1.001)
+        x0 = gx.astype(jnp.int32)
+        y0 = gy.astype(jnp.int32)
+        fx = gx - x0
+        fy = gy - y0
+        h00 = hf[x0, y0]
+        h10 = hf[x0 + 1, y0]
+        h01 = hf[x0, y0 + 1]
+        h11 = hf[x0 + 1, y0 + 1]
+        return (
+            h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
+            + h01 * (1 - fx) * fy + h11 * fx * fy
+        )
+
+    return height_fn
+
+
+def make_grad_fn(tmap: TerrainMap):
+    """Pure JAX terrain slope (dh/dx, dh/dy) of the BILINEAR contact
+    surface at world (x, y) — the gradient of `make_contact_height_fn`'s
+    cell, so contact frames tilt consistently with the height the solver
+    feels. Used to build sloped contact normals (PhysX-trimesh-normal
+    capability analog)."""
+    import jax.numpy as jnp
+
+    hf = jnp.asarray(tmap.height_field, jnp.float32) * tmap.vertical_scale
+    inv_h = 1.0 / tmap.horizontal_scale
+    border = tmap.border_size
+    nrow, ncol = tmap.height_field.shape
 
     def grad_fn(x: "jnp.ndarray", y: "jnp.ndarray"):
-        px = jnp.clip(((x + border) * inv_h).astype(jnp.int32), 0, nrow - 1)
-        py = jnp.clip(((y + border) * inv_h).astype(jnp.int32), 0, ncol - 1)
-        xp = jnp.minimum(px + 1, nrow - 1)
-        xm = jnp.maximum(px - 1, 0)
-        yp = jnp.minimum(py + 1, ncol - 1)
-        ym = jnp.maximum(py - 1, 0)
-        scale = 0.5 * inv_h * vscale
-        gx = (mn[xp, py] - mn[xm, py]) * scale
-        gy = (mn[px, yp] - mn[px, ym]) * scale
+        gx_ = jnp.clip((x + border) * inv_h, 0.0, nrow - 1.001)
+        gy_ = jnp.clip((y + border) * inv_h, 0.0, ncol - 1.001)
+        x0 = gx_.astype(jnp.int32)
+        y0 = gy_.astype(jnp.int32)
+        fx = gx_ - x0
+        fy = gy_ - y0
+        h00 = hf[x0, y0]
+        h10 = hf[x0 + 1, y0]
+        h01 = hf[x0, y0 + 1]
+        h11 = hf[x0 + 1, y0 + 1]
+        gx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) * inv_h
+        gy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) * inv_h
         return gx, gy
 
     return grad_fn
