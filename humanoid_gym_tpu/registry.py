@@ -108,6 +108,7 @@ def _register_builtin():
         cfg.domain_rand.randomize_contact_stiffness = True
         cfg.domain_rand.randomize_contact_offset = True
         cfg.domain_rand.randomize_contact_compliance = True
+        cfg.domain_rand.randomize_contact_slope = True
         return cfg
 
     def terrain_robust_ppo():
