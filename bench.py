@@ -39,13 +39,19 @@ def _probe_backend(timeout_s: float = 180.0):
     out = {}
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        out["devices"] = jax.devices()
+            out["devices"] = jax.devices()
+        except BaseException as e:  # noqa: BLE001 — report, don't hide
+            out["error"] = e
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
+    if "error" in out:
+        print(f"bench: backend init failed: {out['error']!r}", file=sys.stderr)
+        os._exit(3)
     if "devices" not in out:
         print(
             f"bench: backend init did not complete within {timeout_s:.0f}s "
@@ -160,6 +166,9 @@ def main():
                 "value": round(fps, 1),
                 "unit": "env_steps/s",
                 "vs_baseline": round(fps / NOMINAL_REFERENCE_FPS, 4),
+                # which ladder rung actually ran — a fallback must be
+                # distinguishable from a perf regression in the JSON record
+                "solver": solver,
             }
         )
     )

@@ -641,6 +641,11 @@ class HumanoidEnv:
         phys = phys.replace(
             qpos=jnp.where(done, qpos_r, phys.qpos),
             qvel=jnp.where(done, qvel_r, phys.qvel),
+            # the warm-start carry belongs to the previous configuration —
+            # a crash's impulses must not seed the new episode's first solve
+            contact_lam=jnp.where(
+                done, jnp.zeros_like(phys.contact_lam), phys.contact_lam
+            ),
         )
         commands = jnp.where(
             done, self._sample_commands(k_rcmd, commands, cmd_vx_range), commands

@@ -149,10 +149,15 @@ def _hfield_height_at(model, x: float, y: float) -> float:
     x0, y0 = int(gx), int(gy)
     x1, y1 = min(x0 + 1, nc - 1), min(y0 + 1, nr - 1)
     fx, fy = gx - x0, gy - y0
-    v = (
-        h[y0, x0] * (1 - fx) * (1 - fy) + h[y0, x1] * fx * (1 - fy)
-        + h[y1, x0] * (1 - fx) * fy + h[y1, x1] * fx * fy
-    )
+    # MuJoCo triangulates each cell along the (row, col)->(row+1, col+1)
+    # diagonal (verified against mj_ray to 3e-4 on uneven.png; plain
+    # bilinear deviates up to 0.14 m on these 1 m cells)
+    h00, h10 = h[y0, x0], h[y0, x1]
+    h01, h11 = h[y1, x0], h[y1, x1]
+    if fx >= fy:
+        v = h00 + (h10 - h00) * fx + (h11 - h10) * fy
+    else:
+        v = h00 + (h01 - h00) * fy + (h11 - h01) * fx
     return float(v) * sz
 
 

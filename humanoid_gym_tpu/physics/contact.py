@@ -344,13 +344,12 @@ def resolve_contacts(
     baumgarte=0.2,
     compliance=0.0,
     lam0: jnp.ndarray | None = None,
-    terrain_grad_fn=None,
     frames_override: jnp.ndarray | None = None,
 ) -> ContactResult:
     setup = build_contact_setup(
         model, dyn, terrain_height_fn, dt, contact_offset=contact_offset,
         max_depen_vel=max_depen_vel, baumgarte=baumgarte,
-        terrain_grad_fn=terrain_grad_fn, frames_override=frames_override,
+        frames_override=frames_override,
     )
     sign, lb = joint_limit_bounds(model, qpos, dt)
     K = setup.phi.shape[0]

@@ -1117,6 +1117,9 @@ def make_mega_step_batched(
         terr = (t_border, t_inv_h, float(t_nrow), float(t_ncol))
         cbody = jnp.asarray(model.contact_point_body)
         coff = model.contact_point_offset
+        from ..terrain.terrain import make_grad_fn as _make_grad_fn
+
+        grad_fn_xla = _make_grad_fn(terrain_map)
 
         from .kinematics import f32_matmul, fk
 
@@ -1141,17 +1144,10 @@ def make_mega_step_batched(
                 [Pg[ox + i, oy + j] for i in range(3) for j in range(3)],
                 axis=-1,
             )  # (N, 9*K)
-            # step-start slope of the BILINEAR cell (matches
-            # terrain.make_grad_fn) for the sloped contact frames
-            fx = gxf - px
-            fy = gyf - py
-            h00 = Pg[px, py]
-            h10 = Pg[px + 1, py]
-            h01 = Pg[px, py + 1]
-            h11 = Pg[px + 1, py + 1]
-            # contact-slope DR: per-env gradient bias tilts the frames only
-            gx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) * t_inv_h
-            gy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) * t_inv_h
+            # step-start slope for the sloped contact frames — the SHARED
+            # terrain.make_grad_fn (one bilinear-cell gradient definition
+            # across every solver path), plus the contact-slope DR bias
+            gx, gy = grad_fn_xla(xy[..., 0], xy[..., 1])
             gx = gx + sbias[:, 0:1]
             gy = gy + sbias[:, 1:2]
             return jnp.concatenate(

@@ -104,9 +104,14 @@ def make_substep(
     solver_iterations: int = 24,
     max_depen_vel: float = 1.0,
     solver: str = "apgd",
-    terrain_grad_fn=None,
 ):
-    """Returns substep(state, joint_targets) -> state (single env)."""
+    """Returns substep(state, joint_targets) -> state (single env).
+
+    frames_override: policy-step-start contact frames (K, 3, 3) on
+    heightfield terrain (None = flat, identity frames). Every solver path
+    freezes frames across the decimation window — make_physics_step
+    computes them once per policy step, matching the mega kernel's
+    step-start slope gather."""
 
     nb = model.nbody
     body_idx = jnp.asarray(model.contact_point_body)
@@ -145,7 +150,6 @@ def make_substep(
                 model, dyn, terrain_height_fn, dt, max_depen_vel=max_depen_vel,
                 baumgarte=0.2 * state.contact_stiffness,
                 contact_offset=state.contact_offset,
-                terrain_grad_fn=terrain_grad_fn,
                 frames_override=frames_override,
             )
             sign, lb = joint_limit_bounds(model, qpos, dt)
@@ -191,7 +195,6 @@ def make_substep(
                 contact_offset=state.contact_offset,
                 compliance=state.contact_compliance,
                 lam0=state.contact_lam,
-                terrain_grad_fn=terrain_grad_fn,
                 frames_override=frames_override,
             )
         qvel_new = res.qvel_new
@@ -311,7 +314,6 @@ def make_physics_step(
         terrain_height_fn,
         solver_iterations,
         solver=solver,
-        terrain_grad_fn=terrain_grad_fn,
     )
 
     if terrain_grad_fn is not None:
