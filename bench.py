@@ -129,17 +129,22 @@ def main():
         profile_dir = os.environ.get("HGT_BENCH_PROFILE")
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
-        times = []
-        for _ in range(iters):
-            key, k = jax.random.split(key)
-            t0 = time.time()
-            ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
-            jax.block_until_ready(metrics["value_loss"])
-            times.append(time.time() - t0)
-        dt = sorted(times)[len(times) // 2]  # median iteration
-        if profile_dir:
-            jax.profiler.stop_trace()
-            print(f"# profile trace written to {profile_dir}", file=sys.stderr)
+        try:
+            times = []
+            for _ in range(iters):
+                key, k = jax.random.split(key)
+                t0 = time.time()
+                ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
+                jax.block_until_ready(metrics["value_loss"])
+                times.append(time.time() - t0)
+            dt = sorted(times)[len(times) // 2]  # median iteration
+        finally:
+            # stop even when a rung dies mid-trace — a leaked trace makes
+            # every later rung's start_trace raise and the fallback ladder
+            # fails exactly when profiling.
+            if profile_dir:
+                jax.profiler.stop_trace()
+                print(f"# profile trace written to {profile_dir}", file=sys.stderr)
         return T, dt, compile_s
 
     last_err = None

@@ -117,48 +117,58 @@ def _load_mj_model(path: str):
         return mujoco.MjModel.from_xml_string(xml)
 
 
-def _hfield_height_at(model, x: float, y: float) -> float:
-    """Bilinear height of the terrain hfield at world (x, y); 0 on flat
-    models or outside the field. Used to re-seat a shifted spawn on the
-    terrain and to reference fall detection to the LOCAL ground. Resolves
-    the hfield through its geom (models can carry several hfields; the
-    walkable one is the one a geom instantiates)."""
+def _make_hfield_height_fn(model):
+    """Resolve the model's walkable hfield ONCE (geom scan + full-grid
+    copy are rollout-invariant) and return height_at(x, y) -> float: the
+    triangulated height of the terrain at world (x, y); 0 on flat models
+    or outside the field. Resolves the hfield through its geom (models can
+    carry several hfields; the walkable one is the one a geom
+    instantiates)."""
     import mujoco
 
-    if model.nhfield == 0:
-        return 0.0
     gid = None
-    for g in range(model.ngeom):
-        if model.geom_type[g] == mujoco.mjtGeom.mjGEOM_HFIELD:
-            gid = g
-            break
+    if model.nhfield > 0:
+        for g in range(model.ngeom):
+            if model.geom_type[g] == mujoco.mjtGeom.mjGEOM_HFIELD:
+                gid = g
+                break
     if gid is None:
-        return 0.0
+        return lambda x, y: 0.0
     hid = int(model.geom_dataid[gid])
     px, py = float(model.geom_pos[gid][0]), float(model.geom_pos[gid][1])
-    sx, sy, sz, _ = model.hfield_size[hid]
+    sx, sy, sz, _ = (float(v) for v in model.hfield_size[hid])
     nr = int(model.hfield_nrow[hid])
     nc = int(model.hfield_ncol[hid])
     adr = int(model.hfield_adr[hid])
-    # grid coords: columns span x in [-sx, sx], rows span y in [-sy, sy]
-    gx = (x - px + sx) / (2 * sx) * (nc - 1)
-    gy = (y - py + sy) / (2 * sy) * (nr - 1)
-    if not (0 <= gx <= nc - 1 and 0 <= gy <= nr - 1):
-        return 0.0
-    h = np.asarray(model.hfield_data[adr : adr + nr * nc]).reshape(nr, nc)
-    x0, y0 = int(gx), int(gy)
-    x1, y1 = min(x0 + 1, nc - 1), min(y0 + 1, nr - 1)
-    fx, fy = gx - x0, gy - y0
-    # MuJoCo triangulates each cell along the (row, col)->(row+1, col+1)
-    # diagonal (verified against mj_ray to 3e-4 on uneven.png; plain
-    # bilinear deviates up to 0.14 m on these 1 m cells)
-    h00, h10 = h[y0, x0], h[y0, x1]
-    h01, h11 = h[y1, x0], h[y1, x1]
-    if fx >= fy:
-        v = h00 + (h10 - h00) * fx + (h11 - h10) * fy
-    else:
-        v = h00 + (h01 - h00) * fy + (h11 - h01) * fx
-    return float(v) * sz
+    h = np.array(model.hfield_data[adr : adr + nr * nc]).reshape(nr, nc)
+
+    def height_at(x: float, y: float) -> float:
+        # grid coords: columns span x in [-sx, sx], rows span y in [-sy, sy]
+        gx = (x - px + sx) / (2 * sx) * (nc - 1)
+        gy = (y - py + sy) / (2 * sy) * (nr - 1)
+        if not (0 <= gx <= nc - 1 and 0 <= gy <= nr - 1):
+            return 0.0
+        x0, y0 = int(gx), int(gy)
+        x1, y1 = min(x0 + 1, nc - 1), min(y0 + 1, nr - 1)
+        fx, fy = gx - x0, gy - y0
+        # MuJoCo triangulates each cell along the (row, col)->(row+1, col+1)
+        # diagonal (verified against mj_ray to 3e-4 on uneven.png; plain
+        # bilinear deviates up to 0.14 m on these 1 m cells)
+        h00, h10 = h[y0, x0], h[y0, x1]
+        h01, h11 = h[y1, x0], h[y1, x1]
+        if fx >= fy:
+            v = h00 + (h10 - h00) * fx + (h11 - h10) * fy
+        else:
+            v = h00 + (h01 - h00) * fy + (h11 - h01) * fx
+        return float(v) * sz
+
+    return height_at
+
+
+def _hfield_height_at(model, x: float, y: float) -> float:
+    """One-shot convenience wrapper over _make_hfield_height_fn (re-resolves
+    the field every call — use the factory inside loops)."""
+    return _make_hfield_height_fn(model)(x, y)
 
 
 def run_mujoco(
@@ -178,11 +188,12 @@ def run_mujoco(
     model = _load_mj_model(cfg.mujoco_model_path)
     model.opt.timestep = cfg.sim_dt
     data = mujoco.MjData(model)
+    height_at = _make_hfield_height_fn(model)
     if cfg.spawn_xy != (0.0, 0.0):
         sx, sy = cfg.spawn_xy
         data.qpos[0] += sx
         data.qpos[1] += sy
-        data.qpos[2] += _hfield_height_at(model, sx, sy)
+        data.qpos[2] += height_at(sx, sy)
     mujoco.mj_step(model, data)
 
     renderer = None
@@ -258,9 +269,7 @@ def run_mujoco(
                 states.append(np.array(data.qpos))
             # fall = base below 0.3 m over the LOCAL terrain (absolute z is
             # meaningless on the hfield, where mounds reach 0.35 m)
-            ground = _hfield_height_at(
-                model, float(data.xpos[1][0]), float(data.xpos[1][1])
-            )
+            ground = height_at(float(data.xpos[1][0]), float(data.xpos[1][1]))
             if fallen_at is None and base_z - ground < 0.3:
                 fallen_at = step * cfg.sim_dt
 

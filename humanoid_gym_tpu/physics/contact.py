@@ -69,7 +69,6 @@ def build_contact_setup(
     baumgarte: float = 0.2,
     max_depen_vel: float = 1.0,
     limit_margin: float = 0.05,
-    terrain_grad_fn=None,
     frames_override: jnp.ndarray | None = None,
 ) -> ContactSetup:
     k = dyn.k
@@ -89,17 +88,14 @@ def build_contact_setup(
         lambda mrow, x: point_jacobian(basis, mrow, x), in_axes=(0, 0)
     )(mask[body_idx], pos)
 
-    if frames_override is not None or terrain_grad_fn is not None:
+    if frames_override is not None:
         # sloped contact frames: rotate each point's 3 rows into (t1, t2, n)
         # and measure penetration along the normal (vertical gap x n_z).
         # frames_override carries POLICY-STEP-START frames (all solver paths
         # freeze frames across the decimation window, matching the mega
-        # kernel's step-start slope gather).
-        if frames_override is not None:
-            frames = frames_override
-        else:
-            gx, gy = terrain_grad_fn(pos[:, 0], pos[:, 1])
-            frames = terrain_contact_frames(gx, gy)  # (K,3,3)
+        # kernel's step-start slope gather — frames are never recomputed
+        # per substep).
+        frames = frames_override
         Jpts = jnp.einsum("kdc,kcv->kdv", frames, Jpts)
         phi_n = phi * frames[:, 2, 2]
     else:

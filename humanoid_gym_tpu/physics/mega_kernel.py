@@ -311,6 +311,7 @@ class _StaticModel:
         self.tlim = np.asarray(torque_limit, np.float64)
         self.gravity = np.asarray(model.gravity, np.float64)
         self.cbody = list(model.contact_point_body)
+        self.cruns = model.contact_point_runs()  # (body, start, end) runs
         self.coff = np.asarray(model.contact_point_offset, np.float64)
         # per-joint rotation-about-axis coefficient matrices:
         # Raxis(θ) = I + sinθ·K + (1−cosθ)·K² → entry = (I+K²) + K·s − K²·c
@@ -378,7 +379,8 @@ def _build_mega_kernel(
         kp_s = inp[IN_KPS]  # motor-strength scales
         kd_s = inp[IN_KDS]
         comp = inp[IN_COMP]  # contact compliance (CFM; 0 = rigid)
-        tgt_cmd = [inp[IN_TGT + j] for j in range(nj)]
+        # (PD targets are read as the stacked inp[IN_TGT:IN_TGT+nj] rows
+        # inside the PD stage — no per-joint lane-scalar reads here.)
 
         # scratch init (static patterns built from iotas — Mosaic-safe)
         f32 = jnp.float32
@@ -708,12 +710,7 @@ def _build_mega_kernel(
             # ROWS layout is unchanged. ~1.6k lane-scalar eqns become ~300.
             inv_dt = 1.0 / dt
             bmg = 0.2 * cstiff  # contact Baumgarte scale (contact-model DR)
-            groups = []  # contiguous (body, start, end) point runs
-            g0 = 0
-            for kk in range(1, K + 1):
-                if kk == K or sm.cbody[kk] != sm.cbody[g0]:
-                    groups.append((sm.cbody[g0], g0, kk))
-                    g0 = kk
+            groups = sm.cruns  # contiguous (body, start, end) point runs
 
             # X = R_f @ coff + p_f per group, concatenated to (K,)+LS
             Xc = []
@@ -1197,13 +1194,7 @@ def make_mega_step_batched(
             frames0 = None
         implicit_d = kd_eff + model.dof_damping
         mass_scale = jnp.ones(model.nbody).at[0].set(bms)
-        cbody_np = list(model.contact_point_body)
-        foot_runs = []
-        _g0 = 0
-        for _kk in range(1, len(cbody_np) + 1):
-            if _kk == len(cbody_np) or cbody_np[_kk] != cbody_np[_g0]:
-                foot_runs.append((_g0, _kk))
-                _g0 = _kk
+        foot_runs = [(a, b_) for _, a, b_ in model.contact_point_runs()]
 
         @f32_matmul
         def substep(carry, _):

@@ -74,6 +74,22 @@ class RobotModel:
     def ncon(self) -> int:
         return len(self.contact_point_body)
 
+    def contact_point_runs(self) -> Tuple[Tuple[int, int, int], ...]:
+        """Contiguous (body, start, end) runs over contact_point_body.
+
+        THE single source of the per-foot contact-point grouping: the
+        OUT_FF row layout (foot-major, xyz-minor) of every solver path —
+        mega kernel, XLA fallback, and the per-foot force consumer in
+        step.py — is derived from this ordering."""
+        runs = []
+        cb = self.contact_point_body
+        g0 = 0
+        for k in range(1, len(cb) + 1):
+            if k == len(cb) or cb[k] != cb[g0]:
+                runs.append((cb[g0], g0, k))
+                g0 = k
+        return tuple(runs)
+
 
 def _fk_numpy(bodies, qpos_joints: np.ndarray):
     """Host-side FK at a given joint configuration (identity base). Returns

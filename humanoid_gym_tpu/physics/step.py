@@ -262,13 +262,8 @@ def make_physics_step(
             ),
         )
 
-        # contiguous per-foot runs of contact points -> foot body ids
-        _cb = list(model.contact_point_body)
-        foot_bodies = []
-        for b in _cb:
-            if not foot_bodies or foot_bodies[-1] != b:
-                foot_bodies.append(b)
-        foot_idx = jnp.asarray(foot_bodies)
+        # per-foot body ids in OUT_FF row order (shared grouping helper)
+        foot_idx = jnp.asarray([b for b, _, _ in model.contact_point_runs()])
 
         def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
             qpos_new, qvel_new, lam, tau, ff = mega(
@@ -280,7 +275,7 @@ def make_physics_step(
             )
             # ff: per-foot WORLD-frame impulse sums (frame-correct on sloped
             # terrain, where raw lam rows live in per-point (t1, t2, n))
-            forces = ff.reshape(len(foot_bodies), 3) / sim_dt
+            forces = ff.reshape(foot_idx.shape[0], 3) / sim_dt
             cf = jnp.zeros((nb, 3), forces.dtype).at[foot_idx].add(forces)
             return state.replace(
                 qpos=qpos_new, qvel=qvel_new, contact_forces=cf, torques=tau,

@@ -167,7 +167,13 @@ _DEFAULT_DEPLOY_MJCF = (
 def _load_deploy_field(mjcf_path: str):
     """Load the DEPLOYMENT heightfield (the MuJoCo sim2sim terrain) via
     mujoco's own loader (PNG decoding + hfield scaling), as (heights_m
-    (nr, nc), cell_m). Cached per path."""
+    indexed [x, y], cell_x_m, cell_y_m). Cached per path.
+
+    MuJoCo stores hfield_data (nrow, ncol) with rows spanning y and cols
+    spanning x (same convention sim2sim._hfield_height_at verified against
+    mj_ray), so the grid is transposed here to match SubGrid.hf's
+    (x-pixels, y-pixels) layout, with per-axis cell sizes — deploy fields
+    need not be square."""
     if mjcf_path in _DEPLOY_FIELD_CACHE:
         return _DEPLOY_FIELD_CACHE[mjcf_path]
     import mujoco
@@ -184,9 +190,11 @@ def _load_deploy_field(mjcf_path: str):
     nr, nc = int(m.hfield_nrow[hid]), int(m.hfield_ncol[hid])
     adr = int(m.hfield_adr[hid])
     h = np.asarray(m.hfield_data[adr : adr + nr * nc]).reshape(nr, nc) * sz
-    cell = 2.0 * float(sx) / (nc - 1)
-    _DEPLOY_FIELD_CACHE[mjcf_path] = (h, cell)
-    return h, cell
+    h_xy = np.ascontiguousarray(h.T)  # (nc, nr), indexed [x, y]
+    cell_x = 2.0 * float(sx) / (nc - 1)
+    cell_y = 2.0 * float(sy) / (nr - 1)
+    _DEPLOY_FIELD_CACHE[mjcf_path] = (h_xy, cell_x, cell_y)
+    return h_xy, cell_x, cell_y
 
 
 def _deploy_menu(g, rng, choice, difficulty, prop, mjcf=None, base=0.05,
@@ -200,21 +208,21 @@ def _deploy_menu(g, rng, choice, difficulty, prop, mjcf=None, base=0.05,
         P.random_uniform(g, rng, -r_height, r_height, step=0.005,
                          downsampled_scale=0.2)
         return
-    h, cell = _load_deploy_field(mjcf or _DEFAULT_DEPLOY_MJCF)
+    h, cell_x, cell_y = _load_deploy_field(mjcf or _DEFAULT_DEPLOY_MJCF)
     # window of the field covering the subgrid's world extent
-    # (SubGrid.hf is (width, length) = (x-pixels, y-pixels))
-    wl = g.width * g.horizontal_scale / cell
-    ww = g.length * g.horizontal_scale / cell
-    nr, nc = h.shape
-    if wl > nr - 1 or ww > nc - 1:
+    # (SubGrid.hf is (width, length) = (x-pixels, y-pixels); h is [x, y])
+    wl = g.width * g.horizontal_scale / cell_x
+    ww = g.length * g.horizontal_scale / cell_y
+    nx, ny = h.shape
+    if wl > nx - 1 or ww > ny - 1:
         raise ValueError(
-            f"deploy field ({(nr - 1) * cell:.0f}x{(nc - 1) * cell:.0f} m) is "
-            f"smaller than the terrain patch "
+            f"deploy field ({(nx - 1) * cell_x:.0f}x{(ny - 1) * cell_y:.0f} m)"
+            f" is smaller than the terrain patch "
             f"({g.width * g.horizontal_scale:.0f}x"
             f"{g.length * g.horizontal_scale:.0f} m)"
         )
-    r0 = rng.uniform(0, nr - 1 - wl)
-    c0 = rng.uniform(0, nc - 1 - ww)
+    r0 = rng.uniform(0, nx - 1 - wl)
+    c0 = rng.uniform(0, ny - 1 - ww)
     # upsample at the fine grid with MuJoCo's TRIANGULATED interpolation
     # (cells split along the (i, j)->(i+1, j+1) diagonal — verified vs
     # mj_ray; bilinear deviates up to 0.14 m on the 1 m deployment cells)
@@ -222,8 +230,8 @@ def _deploy_menu(g, rng, choice, difficulty, prop, mjcf=None, base=0.05,
     yi = c0 + np.linspace(0.0, ww, g.length)
     x0 = np.floor(xi).astype(int)
     y0 = np.floor(yi).astype(int)
-    x1 = np.minimum(x0 + 1, nr - 1)
-    y1 = np.minimum(y0 + 1, nc - 1)
+    x1 = np.minimum(x0 + 1, nx - 1)
+    y1 = np.minimum(y0 + 1, ny - 1)
     fx = (xi - x0)[:, None]
     fy = (yi - y0)[None, :]
     h00 = h[np.ix_(x0, y0)]

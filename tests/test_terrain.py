@@ -133,3 +133,67 @@ def test_deploy_terrain_style():
     # gentle columns are the only negative cells (+-roughness); deploy
     # windows are re-floored at 0
     assert h.min() >= -0.08
+
+
+def test_deploy_window_matches_deployment_lookup():
+    """The deploy-style window must reproduce the ACTUAL deployment
+    surface: _load_deploy_field is indexed [x, y] with per-axis cell sizes
+    (MuJoCo hfield rows span y, cols span x), and the menu's triangulated
+    upsample agrees with sim2sim._hfield_height_at — the mj_ray-verified
+    deployment lookup — at the window's world points. Regression for the
+    transposed-window bug (training x mapped onto the field's row axis)."""
+    import mujoco
+    import numpy as np
+
+    from humanoid_gym_tpu.export.sim2sim import (
+        _hfield_height_at, _load_mj_model)
+    from humanoid_gym_tpu.terrain.primitives import SubGrid
+    from humanoid_gym_tpu.terrain.terrain import (
+        _DEFAULT_DEPLOY_MJCF, _deploy_menu, _load_deploy_field)
+
+    model = _load_mj_model(_DEFAULT_DEPLOY_MJCF)
+    h, cell_x, cell_y = _load_deploy_field(_DEFAULT_DEPLOY_MJCF)
+    gid = next(
+        g for g in range(model.ngeom)
+        if model.geom_type[g] == mujoco.mjtGeom.mjGEOM_HFIELD
+    )
+    hid = int(model.geom_dataid[gid])
+    px, py = (float(v) for v in model.geom_pos[gid][:2])
+    sx, sy = (float(v) for v in model.hfield_size[hid][:2])
+
+    class _PinnedRng:
+        """uniform() pinned so the window start is a known grid point."""
+
+        def __init__(self, r0, c0):
+            self.vals = [r0, c0]
+
+        def uniform(self, lo, hi):
+            v = self.vals.pop(0)
+            assert lo <= v <= hi
+            return v
+
+    g = SubGrid(width=40, length=64, horizontal_scale=0.25,
+                vertical_scale=0.005)
+    r0, c0 = 7.25, 11.5
+    # base + span = 0.35 -> amp exactly 1.0 (raw deployment heights)
+    _deploy_menu(g, _PinnedRng(r0, c0), choice=0.9, difficulty=1.0,
+                 prop=[0.0], base=0.05, span=0.30)
+    win = g.hf.astype(np.float64) * g.vertical_scale
+
+    wl = g.width * g.horizontal_scale / cell_x
+    ww = g.length * g.horizontal_scale / cell_y
+    samples = [(i, j) for i in range(0, g.width, 7)
+               for j in range(0, g.length, 9)]
+    expected = {}
+    for i, j in samples:
+        gx = r0 + wl * i / (g.width - 1)
+        gy = c0 + ww * j / (g.length - 1)
+        wx = gx * cell_x - sx + px
+        wy = gy * cell_y - sy + py
+        expected[(i, j)] = _hfield_height_at(model, wx, wy)
+    # the window is re-floored at its min, so compare differences
+    i0, j0 = samples[0]
+    for i, j in samples[1:]:
+        got = win[i, j] - win[i0, j0]
+        want = expected[(i, j)] - expected[(i0, j0)]
+        assert abs(got - want) < 2.5 * g.vertical_scale, (i, j, got, want)
