@@ -32,27 +32,23 @@ apply_platform_env()
 TERRAIN_MJCF = "/root/reference/resources/robots/XBot/mjcf/XBot-L-terrain.xml"
 
 
-def eval_ckpt(ckpt_path: str, rollouts: int, duration: float):
+def eval_policy(policy, rollouts: int, duration: float):
     import numpy as np
 
-    from humanoid_gym_tpu.export.policy_export import load_policy
     from humanoid_gym_tpu.export.sim2sim import Sim2SimCfg, run_mujoco
-    from scripts.robustness_curve import export_ckpt
 
-    d = os.path.join("/tmp", "hgt_hfield_eval")
-    os.makedirs(d, exist_ok=True)
-    export_ckpt(ckpt_path, d)
-    policy = load_policy(os.path.join(d, "policy.npz"))
     survived, dists = 0, []
     # run_mujoco is deterministic (the MJCF shim strips sensornoise), so real
     # rollout variation comes from spawning at different points of the hfield
-    # (different footing) x two command speeds. Seeded so curves comparable.
+    # (different footing) x three command speeds — walk / slow walk / STAND
+    # (standing balance on rubble is its own failure mode). Seeded so curves
+    # are comparable across checkpoints and runs.
     rng = np.random.default_rng(12345)
     spawns = rng.uniform(-8.0, 8.0, size=(rollouts, 2))
     for r in range(rollouts):
         cfg = Sim2SimCfg(
             mujoco_model_path=TERRAIN_MJCF, sim_duration=duration,
-            cmd_vx=0.4 if r % 2 == 0 else 0.2,
+            cmd_vx=(0.4, 0.2, 0.0)[r % 3],
             spawn_xy=(float(spawns[r, 0]), float(spawns[r, 1])),
         )
         out = run_mujoco(policy, cfg)
@@ -64,20 +60,46 @@ def eval_ckpt(ckpt_path: str, rollouts: int, duration: float):
         "rollouts": rollouts,
         "mean_distance_x": round(float(np.mean(dists)), 3),
         "duration_s": duration,
-        # spawn-varied rollouts + local-ground fall detection; lines without
-        # this field predate the honest protocol (2 distinct rollouts only)
-        "protocol": "spawn_v2",
+        # spawn-varied rollouts, cmd vx in {0.4, 0.2, 0.0}, triangulated
+        # (mj_ray-exact) local-ground fall detection — the protocol of the
+        # round-2 standings (reference demo 20/24). Earlier tags: spawn_v2
+        # (two speeds), none (2 distinct rollouts only).
+        "protocol": "spawn_v3_triangulated",
     }
+
+
+def eval_ckpt(ckpt_path: str, rollouts: int, duration: float):
+    from humanoid_gym_tpu.export.policy_export import load_policy
+    from scripts.robustness_curve import export_ckpt
+
+    d = os.path.join("/tmp", "hgt_hfield_eval")
+    os.makedirs(d, exist_ok=True)
+    export_ckpt(ckpt_path, d)
+    policy = load_policy(os.path.join(d, "policy.npz"))
+    return eval_policy(policy, rollouts, duration)
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--run_dir", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--run_dir", help="evaluate a training run's checkpoints")
+    g.add_argument("--policy", help="evaluate one policy file (.npz or "
+                   "TorchScript .pt — e.g. the reference's shipped "
+                   "policy_example.pt) instead of a run dir")
     p.add_argument("--rollouts", type=int, default=4)
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--stride", type=int, default=5)
     p.add_argument("--ckpt", type=int, default=None, help="single checkpoint")
     args = p.parse_args()
+
+    if args.policy:
+        from humanoid_gym_tpu.export.policy_export import load_policy
+
+        res = {"policy": args.policy,
+               **eval_policy(load_policy(args.policy),
+                             args.rollouts, args.duration)}
+        print(json.dumps(res))
+        return
 
     ckpts = sorted(
         (int(re.search(r"model_(\d+)\.ckpt", f).group(1)), f)
