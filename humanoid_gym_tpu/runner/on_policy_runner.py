@@ -23,6 +23,7 @@ from collections import deque
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -228,10 +229,17 @@ class OnPolicyRunner:
             if self.log_dir and (it % self.save_interval == 0):
                 self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
         if self.log_dir:
+            # the final checkpoint bundles env state (curriculum levels,
+            # command ranges, DR draws, histories) so a resumed run
+            # continues the curriculum instead of re-spreading terrain
+            # levels and dipping (the reference never checkpoints env
+            # state — resume is learner-only, SURVEY §5; bundling is an
+            # extension, ~4 KB/env, final ckpt only)
             self.save(
                 os.path.join(
                     self.log_dir, f"model_{self.current_learning_iteration}.ckpt"
-                )
+                ),
+                include_env_state=jax.process_count() == 1,
             )
         self.close()
 
@@ -315,6 +323,10 @@ class OnPolicyRunner:
             payload["env_state"] = serialization.to_state_dict(
                 jax.device_get(self.env_state)
             )
+            # the obs that correspond to that state, so the first resumed
+            # rollout step is exactly on-policy
+            payload["obs"] = jax.device_get(self.obs)
+            payload["priv_obs"] = jax.device_get(self.priv_obs)
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
 
@@ -334,6 +346,28 @@ class OnPolicyRunner:
         if len(self.mesh.devices.flat) > 1:
             self.train_state = replicate(self.train_state, self.mesh)
         self.current_learning_iteration = int(payload.get("iter", 0))
+        # restore bundled env state (final checkpoints of single-process
+        # runs) so curriculum/DR state survives resume; skipped when the
+        # env shape changed (different num_envs) or under multi-process
+        # sharding (shards would need reassembly)
+        es = payload.get("env_state")
+        if es is not None and jax.process_count() == 1:
+            try:
+                restored = serialization.from_state_dict(
+                    jax.device_get(self.env_state), es
+                )
+                leaves = jax.tree.leaves(restored)
+                if leaves and leaves[0].shape[:1] != (self.num_envs,):
+                    raise ValueError(
+                        f"ckpt env batch {leaves[0].shape[0]} != "
+                        f"num_envs {self.num_envs}"
+                    )
+                self.env_state = jax.device_put(restored)
+                if payload.get("obs") is not None:
+                    self.obs = jnp.asarray(payload["obs"])
+                    self.priv_obs = jnp.asarray(payload["priv_obs"])
+            except (ValueError, KeyError) as e:
+                print(f"[runner] env state in ckpt not restored: {e}")
         return payload.get("infos")
 
     def get_inference_policy(self):
