@@ -118,12 +118,11 @@ def _register_builtin():
 
     register("humanoid_ppo_terrain_robust", terrain_robust, terrain_robust_ppo)
 
-    def rubble():  # deployment-matched coarse unevenness + contact DR:
-        # trains the balance/footing family the MuJoCo sim2sim terrain
-        # (uneven.png, 1 m cells up to 0.35 m) actually demands — the
-        # reference humanoid menu tops out at +-0.07 m roughness and its
-        # graduates fall on that hfield (docs/ROUND2.md).
-        cfg = XBotLCfg()
+    def _apply_rubble(cfg):  # deployment-matched coarse unevenness +
+        # contact DR: trains the balance/footing family the MuJoCo sim2sim
+        # terrain (uneven.png, 1 m cells up to 0.35 m) actually demands —
+        # the reference humanoid menu tops out at +-0.07 m roughness and
+        # its graduates fall on that hfield (docs/ROUND2.md).
         cfg.terrain.mesh_type = "trimesh"
         cfg.terrain.curriculum = True
         cfg.terrain.style = "rubble"
@@ -145,6 +144,10 @@ def _register_builtin():
         # slope analog of the contact-model DR: policies must not exploit
         # exact slope-contact detail (docs/ROUND2.md footing forensics)
         cfg.domain_rand.randomize_contact_slope = True
+
+    def rubble():
+        cfg = XBotLCfg()
+        _apply_rubble(cfg)
         return cfg
 
     def rubble_ppo():
@@ -193,6 +196,42 @@ def _register_builtin():
         return cfg
 
     register("humanoid_joint_ppo", XBotLCfg, joint_ppo, make_env_custom=joint_env)
+
+    # joint XBot-L + XBot-S on the DEPLOYMENT heightfield: round-2 found
+    # (a) multi-morphology training is the strongest late-transfer
+    # regularizer (joint_v1 robustness curve recovers to 16/16 with zero
+    # contact DR — docs/ROUND2.md) and (b) the footing gap is
+    # engine-detail exploitation on slopes; this recipe combines both
+    # remedies with the upgraded sloped-frame/bilinear contact model.
+    def joint_deploy_env(num_envs, cfg_overrides=None):
+        from .envs.joint import make_joint_xbot_env
+
+        def ov(cfg):
+            _apply_rubble(cfg)
+            cfg.terrain.style = "deploy"
+            if cfg_overrides:
+                cfg_overrides(cfg)
+
+        half = num_envs // 2
+        return make_joint_xbot_env(num_envs - half, half, ov)
+
+    def joint_deploy_cfg():
+        cfg = XBotLCfg()
+        _apply_rubble(cfg)
+        cfg.terrain.style = "deploy"
+        return cfg
+
+    def joint_deploy_ppo():
+        cfg = joint_ppo()
+        cfg.runner.experiment_name = "XBot_joint_deploy"
+        return cfg
+
+    register(
+        "humanoid_joint_deploy",
+        joint_deploy_cfg,
+        joint_deploy_ppo,
+        make_env_custom=joint_deploy_env,
+    )
 
 
 _register_builtin()

@@ -8,9 +8,13 @@ farm is flat-plane only), so use --stride to subsample checkpoints.
 
 Usage:
   python scripts/eval_hfield.py --run_dir logs/.../<run> \
-      [--rollouts 4] [--duration 10] [--stride 5] [--ckpt N]
+      [--rollouts 4] [--duration 10] [--stride 5] [--ckpt N] [--watch]
 
-Writes hfield_curve.jsonl into the run dir.
+`--watch` polls the run dir while training is still writing checkpoints
+(CPU MuJoCo — safe to run concurrently with a TPU training job) and
+evaluates every `stride`-th checkpoint as it appears; after
+`--max_idle_s` with nothing new it scores the final checkpoint and
+exits. Writes hfield_curve.jsonl into the run dir.
 """
 
 from __future__ import annotations
@@ -90,6 +94,11 @@ def main():
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--stride", type=int, default=5)
     p.add_argument("--ckpt", type=int, default=None, help="single checkpoint")
+    p.add_argument("--watch", action="store_true",
+                   help="poll run_dir for new checkpoints (concurrent with "
+                        "training); exit after --max_idle_s of no new ckpt")
+    p.add_argument("--poll_s", type=float, default=120.0)
+    p.add_argument("--max_idle_s", type=float, default=1800.0)
     args = p.parse_args()
 
     if args.policy:
@@ -101,26 +110,72 @@ def main():
         print(json.dumps(res))
         return
 
-    ckpts = sorted(
-        (int(re.search(r"model_(\d+)\.ckpt", f).group(1)), f)
-        for f in glob.glob(os.path.join(args.run_dir, "model_*.ckpt"))
-    )
-    if args.ckpt is not None:
-        ckpts = [(n, f) for n, f in ckpts if n == args.ckpt]
-    else:
-        ckpts = ckpts[:: args.stride] + ([ckpts[-1]] if ckpts else [])
-
     out_path = os.path.join(args.run_dir, "hfield_curve.jsonl")
     seen = set()
-    with open(out_path, "a") as fh:
-        for n, f in ckpts:
-            if n in seen:
-                continue
-            seen.add(n)
+    if os.path.exists(out_path):
+        for line in open(out_path):
+            seen.add(json.loads(line)["ckpt"])
+
+    def list_ckpts():
+        return sorted(
+            (int(re.search(r"model_(\d+)\.ckpt", f).group(1)), f)
+            for f in glob.glob(os.path.join(args.run_dir, "model_*.ckpt"))
+        )
+
+    def score(n, f, fh):
+        seen.add(n)
+        try:
             res = {"ckpt": n, **eval_ckpt(f, args.rollouts, args.duration)}
-            fh.write(json.dumps(res) + "\n")
-            fh.flush()
-            print(json.dumps(res))
+        except Exception as e:  # mid-write ckpt, truncated msgpack, ...
+            seen.discard(n)
+            print(f"ckpt {n}: eval failed ({e}); will retry", flush=True)
+            return
+        fh.write(json.dumps(res) + "\n")
+        fh.flush()
+        print(json.dumps(res), flush=True)
+
+    if not args.watch:
+        ckpts = list_ckpts()
+        if args.ckpt is not None:
+            ckpts = [(n, f) for n, f in ckpts if n == args.ckpt]
+        else:
+            ckpts = ckpts[:: args.stride] + ([ckpts[-1]] if ckpts else [])
+        with open(out_path, "a") as fh:
+            for n, f in ckpts:
+                if n not in seen:
+                    score(n, f, fh)
+        return
+
+    # watch mode: stride by checkpoint RANK in the save sequence (rank =
+    # n // save_gap, stable as new checkpoints appear), so the subsample
+    # matches what a post-hoc `--stride` pass would have picked.
+    import time
+
+    last_new = time.time()
+    high_water = -1
+    with open(out_path, "a") as fh:
+        while True:
+            ckpts = [(n, f) for n, f in list_ckpts() if n > 0]
+            if ckpts and ckpts[-1][0] > high_water:
+                high_water = ckpts[-1][0]
+                last_new = time.time()  # training is alive (even off-stride)
+            gap = min(
+                (b - a for (a, _), (b, _) in zip(ckpts, ckpts[1:]) if b > a),
+                default=None,
+            )
+            for n, f in ckpts:
+                if n in seen or gap is None or (n // gap) % args.stride:
+                    continue
+                last_new = time.time()
+                score(n, f, fh)
+            if time.time() - last_new > args.max_idle_s:
+                # training is done (or stalled): score the final checkpoint
+                # even if it is off-stride, then exit.
+                if ckpts and ckpts[-1][0] not in seen:
+                    score(*ckpts[-1], fh)
+                print("watch: idle past max_idle_s, exiting", flush=True)
+                return
+            time.sleep(args.poll_s)
 
 
 if __name__ == "__main__":

@@ -33,3 +33,22 @@ def test_joint_env_step_and_train():
     ts, state, obs, priv, _, metrics = ti(ts, state, obs, priv, key)
     assert np.isfinite(float(metrics["value_loss"]))
     assert np.isfinite(float(metrics["mean_step_reward"]))
+
+
+def test_joint_deploy_task_builds():
+    """humanoid_joint_deploy: joint L+S batch on the deployment hfield with
+    the full contact-DR stack (round-2 footing recipe, docs/ROUND2.md)."""
+    from humanoid_gym_tpu import registry
+
+    env, cfg = registry.make_env("humanoid_joint_deploy", num_envs=4)
+    assert env.num_envs == 4 and len(env.envs) == 2
+    for sub in env.envs:
+        assert sub.cfg.terrain.style == "deploy"
+        assert sub.cfg.terrain.curriculum
+        assert sub.cfg.domain_rand.randomize_contact_slope
+    train_cfg = registry.get_task("humanoid_joint_deploy").make_train_cfg()
+    assert train_cfg.policy.estimator_dim == 3
+    assert train_cfg.algorithm.estimator_coef == 1.0
+
+    state, obs, priv = env.reset_all(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 705) and np.all(np.isfinite(np.asarray(obs)))
