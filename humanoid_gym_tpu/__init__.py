@@ -20,14 +20,19 @@ A ground-up JAX/XLA/Pallas re-design of the capability surface of
 import os
 
 HGT_ROOT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# Robot assets live in the reference checkout; paths resolved through config.
+# XBot-L robot assets (URDF + MJCF + meshes + deployment heightfield) are
+# vendored under resources/robots/XBot-L so the framework runs standalone;
+# HGT_XBOT_* env vars still override (e.g. to point at another checkout).
+_XBOT_L_DIR = os.path.join(HGT_ROOT_DIR, "resources", "robots", "XBot-L")
 XBOT_URDF = os.environ.get(
-    "HGT_XBOT_URDF",
-    "/root/reference/resources/robots/XBot/urdf/XBot-L.urdf",
+    "HGT_XBOT_URDF", os.path.join(_XBOT_L_DIR, "urdf", "XBot-L.urdf")
 )
 XBOT_MJCF = os.environ.get(
-    "HGT_XBOT_MJCF",
-    "/root/reference/resources/robots/XBot/mjcf/XBot-L.xml",
+    "HGT_XBOT_MJCF", os.path.join(_XBOT_L_DIR, "mjcf", "XBot-L.xml")
+)
+XBOT_TERRAIN_MJCF = os.environ.get(
+    "HGT_XBOT_TERRAIN_MJCF",
+    os.path.join(_XBOT_L_DIR, "mjcf", "XBot-L-terrain.xml"),
 )
 
 __version__ = "0.1.0"

@@ -203,12 +203,28 @@ def _register_builtin():
     # contact DR — docs/ROUND2.md) and (b) the footing gap is
     # engine-detail exploitation on slopes; this recipe combines both
     # remedies with the upgraded sloped-frame/bilinear contact model.
+    def _apply_joint_deploy_v2(cfg):
+        _apply_rubble(cfg)
+        cfg.terrain.style = "deploy"
+        # v2 (round 3): the v1 run tracked 0.97 of max in-engine but its
+        # MuJoCo hfield progress stalled at spawns whose local amplitude
+        # exceeded the trained exposure — the curriculum plateaued at
+        # level ~6/20 (~46% of the deployment's 0.35 m). Spread envs
+        # across ALL levels from iter 0 (demotion sorts the ladder), lift
+        # the amplitude floor to 34% so even level-0 envs train real
+        # footing, and strengthen pushes toward the effective disturbance
+        # rough ground delivers (the hfield knocks the base around far
+        # harder than flat training's +-0.2 m/s).
+        cfg.terrain.max_init_terrain_level = 20
+        cfg.terrain.rubble_base = 0.12
+        cfg.domain_rand.max_push_vel_xy = 0.3
+        cfg.domain_rand.max_push_ang_vel = 0.6
+
     def joint_deploy_env(num_envs, cfg_overrides=None):
         from .envs.joint import make_joint_xbot_env
 
         def ov(cfg):
-            _apply_rubble(cfg)
-            cfg.terrain.style = "deploy"
+            _apply_joint_deploy_v2(cfg)
             if cfg_overrides:
                 cfg_overrides(cfg)
 
@@ -217,8 +233,7 @@ def _register_builtin():
 
     def joint_deploy_cfg():
         cfg = XBotLCfg()
-        _apply_rubble(cfg)
-        cfg.terrain.style = "deploy"
+        _apply_joint_deploy_v2(cfg)
         return cfg
 
     def joint_deploy_ppo():

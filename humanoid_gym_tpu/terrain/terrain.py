@@ -159,9 +159,7 @@ def _rubble_menu(g, rng, choice, difficulty, prop, base=0.05, span=0.30):
 
 
 _DEPLOY_FIELD_CACHE: dict = {}
-_DEFAULT_DEPLOY_MJCF = (
-    "/root/reference/resources/robots/XBot/mjcf/XBot-L-terrain.xml"
-)
+from humanoid_gym_tpu import XBOT_TERRAIN_MJCF as _DEFAULT_DEPLOY_MJCF
 
 
 def _load_deploy_field(mjcf_path: str):

@@ -28,9 +28,7 @@ from humanoid_gym_tpu.utils.platform import apply_platform_env  # noqa: E402
 
 apply_platform_env()
 
-XBOT_MJCF = os.environ.get(
-    "HGT_XBOT_MJCF", "/root/reference/resources/robots/XBot/mjcf/XBot-L.xml"
-)
+from humanoid_gym_tpu import XBOT_MJCF  # noqa: E402
 
 
 def export_ckpt(ckpt_path: str, out_dir: str):

@@ -11,13 +11,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-XBOT_MJCF = os.environ.get(
-    "HGT_XBOT_MJCF", "/root/reference/resources/robots/XBot/mjcf/XBot-L.xml"
-)
-XBOT_MJCF_TERRAIN = os.environ.get(
-    "HGT_XBOT_MJCF_TERRAIN",
-    "/root/reference/resources/robots/XBot/mjcf/XBot-L-terrain.xml",
-)
+from humanoid_gym_tpu import XBOT_MJCF  # noqa: E402
+from humanoid_gym_tpu import XBOT_TERRAIN_MJCF as XBOT_MJCF_TERRAIN  # noqa: E402
 
 
 def main():

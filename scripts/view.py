@@ -30,8 +30,8 @@ from humanoid_gym_tpu.utils.platform import apply_platform_env  # noqa: E402
 
 apply_platform_env()
 
-FLAT_MJCF = "/root/reference/resources/robots/XBot/mjcf/XBot-L.xml"
-TERRAIN_MJCF = "/root/reference/resources/robots/XBot/mjcf/XBot-L-terrain.xml"
+from humanoid_gym_tpu import XBOT_MJCF as FLAT_MJCF  # noqa: E402
+from humanoid_gym_tpu import XBOT_TERRAIN_MJCF as TERRAIN_MJCF  # noqa: E402
 
 
 def main():

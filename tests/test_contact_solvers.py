@@ -131,6 +131,7 @@ def test_standing_equilibrium_apgd(xbot_model):
     assert float(st.qpos[2]) > 0.6
 
 
+@pytest.mark.slow
 def test_pallas_apgd_matches_xla(xbot_model):
     """The Pallas kernel (interpret mode on CPU) must match the XLA APGD
     loop on a batch of real robot contact problems."""
@@ -169,6 +170,7 @@ def test_pallas_apgd_matches_xla(xbot_model):
     np.testing.assert_allclose(np.asarray(v_pls), np.asarray(v_xla), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_pallas_matches_standard(xbot_model):
     """The fused cholesky+contact kernel (interpret mode) must reproduce the
     standard apgd path through a full physics step."""
@@ -210,6 +212,7 @@ def test_fused_pallas_matches_standard(xbot_model):
     )
 
 
+@pytest.mark.slow
 def test_fused_pallas_shard_map(xbot_model):
     """Fused solver dispatched through shard_map over an 8-device mesh must
     match the unsharded result (the multi-chip dispatch path)."""
@@ -303,6 +306,7 @@ def test_contact_compliance_softens(xbot_model):
     assert pen_r - pen_s > 1e-4
 
 
+@pytest.mark.slow
 def test_warm_start_accuracy(xbot_model):
     """The APGD warm start (PhysicsState.contact_lam, carried across
     substeps and policy steps) must beat the round-2 cold start: at equal

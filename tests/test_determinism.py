@@ -6,6 +6,7 @@ import numpy as np
 
 from humanoid_gym_tpu.config.xbotl import XBotLCfg
 from humanoid_gym_tpu.envs import make_env
+import pytest
 
 
 def _rollout(seed):
@@ -22,6 +23,7 @@ def _rollout(seed):
     return np.stack(outs), np.asarray(state.phys.qpos)
 
 
+@pytest.mark.slow
 def test_env_rollout_deterministic():
     o1, q1 = _rollout(7)
     o2, q2 = _rollout(7)

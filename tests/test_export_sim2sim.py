@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 REF_POLICY = "/root/reference/logs/XBot_ppo/exported/policies/policy_example.pt"
-XBOT_MJCF = "/root/reference/resources/robots/XBot/mjcf/XBot-L.xml"
+from humanoid_gym_tpu import XBOT_MJCF  # noqa: E402
 
 
 def test_numpy_policy_roundtrip(tmp_path):

@@ -4,8 +4,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_joint_env_step_and_train():
     from humanoid_gym_tpu.algo.networks import ActorCritic
     from humanoid_gym_tpu.algo.ppo import PPOConfig, init_train_state, make_train_iter
@@ -35,6 +37,7 @@ def test_joint_env_step_and_train():
     assert np.isfinite(float(metrics["mean_step_reward"]))
 
 
+@pytest.mark.slow
 def test_joint_deploy_task_builds():
     """humanoid_joint_deploy: joint L+S batch on the deployment hfield with
     the full contact-DR stack (round-2 footing recipe, docs/ROUND2.md)."""

@@ -8,7 +8,7 @@ import urllib.request
 import numpy as np
 import pytest
 
-FLAT_MJCF = "/root/reference/resources/robots/XBot/mjcf/XBot-L.xml"
+from humanoid_gym_tpu import XBOT_MJCF as FLAT_MJCF  # noqa: E402
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(FLAT_MJCF), reason="reference MJCF not available"

@@ -52,6 +52,7 @@ def _run(m, solver, stb, targets, n_steps=5, decimation=10):
     return stb
 
 
+@pytest.mark.slow
 def test_mega_interpret_matches_apgd(xbot_model):
     """Batched mega kernel (interpret) vs XLA apgd over 5 policy steps
     (50 substeps) with per-env DR (friction, base mass, contact stiffness)."""
@@ -103,6 +104,7 @@ def test_mega_fallback_single_env(xbot_model):
     np.testing.assert_allclose(np.asarray(meg.qvel), np.asarray(ref.qvel), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_mega_shard_map(xbot_model):
     """Mega kernel through shard_map over the 8-device mesh (the multi-chip
     dispatch path) matches the unsharded batched result."""
@@ -131,6 +133,7 @@ def test_mega_shard_map(xbot_model):
     )
 
 
+@pytest.mark.slow
 def test_mega_terrain_matches_apgd():
     """Terrain variant: the in-kernel heightfield lookup (per-point 3x3
     min-grid patches, one-hot selected) must reproduce the XLA apgd path's
@@ -177,6 +180,7 @@ def test_mega_terrain_matches_apgd():
     assert np.all(fz > 100.0), fz
 
 
+@pytest.mark.slow
 def test_mega_translation_invariance(xbot_model):
     """Dynamics must be identical when the whole scene is shifted far from
     the world origin (regression: world-origin CRBA composites cancelled

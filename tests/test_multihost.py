@@ -77,6 +77,7 @@ print(f"RUNNER_OK pid={pid} rew={runner.rewbuffer and runner.rewbuffer[-1] or 0}
 
 
 @pytest.mark.skipif(os.environ.get("HGT_SKIP_MULTIPROC") == "1", reason="opt-out")
+@pytest.mark.slow
 def test_two_process_train_step(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)

@@ -11,6 +11,7 @@ from humanoid_gym_tpu.algo.networks import (
     normal_log_prob,
 )
 from humanoid_gym_tpu.algo.ppo import gae
+import pytest
 
 
 def test_gae_hand_computed():
@@ -74,6 +75,7 @@ def test_actor_critic_shapes():
     assert a.shape == (3, 12)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs():
     """Full PPO iteration with env axis sharded over 8 emulated devices."""
     import __graft_entry__ as g
