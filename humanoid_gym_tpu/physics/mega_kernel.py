@@ -894,11 +894,35 @@ def _build_mega_kernel(
                 ],
                 axis=0,
             )
-            qvel_new, lam = _fused_core_opt(
-                L_s, Mt_s[...], Jt_s[...], qvel_t, rhs_t,
-                tgt_s[...], sign_s[...], mu, valid, iterations,
-                compliance=comp, lam0=lam_prev,
-            )
+            if _SUB == 1:
+                qvel_new, lam = _fused_core_opt(
+                    L_s, Mt_s[...], Jt_s[...], qvel_t, rhs_t,
+                    tgt_s[...], sign_s[...], mu, valid, iterations,
+                    compliance=comp, lam0=lam_prev,
+                )
+            else:
+                # SPLIT SOLVE (round 3): the round-2 S=2 experiment was 2x
+                # slower because the solve stage's live values/scratch scale
+                # with S past the 16 MB scoped-VMEM budget and Mosaic spills
+                # through HBM (docs/PERFORMANCE.md). The scalar stage above
+                # keeps the S-wide sublane-env layout (S x fewer issue
+                # slots); the solve runs once per 128-lane sublane group at
+                # the S=1 layout, reusing one S=1-shaped Cholesky scratch,
+                # so its live footprint never grows with S.
+                qn_h, lam_h = [], []
+                for s in range(_SUB):
+                    q_s, l_s = _fused_core_opt(
+                        L_s,
+                        Mt_s[:, :, s], Jt_s[:, :, s],
+                        qvel_t[:, s], rhs_t[:, s],
+                        tgt_s[:, s], sign_s[:, s],
+                        mu[:, s], valid[:, s], iterations,
+                        compliance=comp[s], lam0=lam_prev[:, s],
+                    )
+                    qn_h.append(q_s)
+                    lam_h.append(l_s)
+                qvel_new = jnp.stack(qn_h, axis=1)
+                lam = jnp.stack(lam_h, axis=1)
 
             # ---- velocity limits + semi-implicit integration (step.py) ----
             vx, vy, vz = qvel_new[0], qvel_new[1], qvel_new[2]
@@ -1052,10 +1076,14 @@ def _mega_call(
             pltpu.VMEM((ROWS,) + LS, jnp.float32),  # target
             pltpu.VMEM((ROWS,) + LS, jnp.float32),  # sign
             pltpu.VMEM((OUT_ROWS,) + LS, jnp.float32),  # state
-            pltpu.VMEM((NVP, NVP) + LS, jnp.float32),  # Cholesky L
+            # Cholesky L: ALWAYS the S=1 lane shape — at S>1 the solve runs
+            # once per 128-lane sublane group (split solve) and reuses this
+            # scratch, so solve-stage VMEM does not scale with S
+            pltpu.VMEM((NVP, NVP, ENV_TILE), jnp.float32),  # Cholesky L
         ],
-        # sublane-env tiles exceed the default 16 MB scoped-vmem budget at
-        # S>=2 (~19 MB live at S=2); raise the cap toward physical VMEM
+        # sublane-env input/state tiles still exceed the default 16 MB
+        # scoped-vmem budget at large S; keep headroom (the split solve
+        # removes the dominant S-scaled term, the solve-stage live values)
         compiler_params=(
             None if _SUB == 1
             else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)

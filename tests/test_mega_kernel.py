@@ -2,6 +2,8 @@
 (FK + bias + CRBA + contact rows + fused solve + integration, all
 decimation substeps on-chip) must reproduce the standard XLA `apgd` path."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -208,3 +210,38 @@ def test_mega_translation_invariance(xbot_model):
     np.testing.assert_allclose(
         np.asarray(far.contact_forces), np.asarray(near.contact_forces), atol=10.0
     )
+
+
+@pytest.mark.slow
+def test_mega_sublane_split_solve_matches(tmp_path):
+    """HGT_MEGA_SUB=2 (sublane-env tiles + per-sublane-group SPLIT SOLVE,
+    round 3) must reproduce the S=1 apgd trajectory. Runs in a subprocess
+    because the tiling flag is read at module import."""
+    import subprocess
+    import sys as _sys
+
+    code = """
+import sys
+sys.path.insert(0, '/root/repo'); sys.path.insert(0, '/root/repo/tests')
+import jax; jax.config.update('jax_platforms', 'cpu')
+import numpy as np, jax.numpy as jnp
+from humanoid_gym_tpu.physics import mega_kernel as mk
+assert mk._SUB == 2 and mk.LS == (2, 128)
+from humanoid_gym_tpu.physics.model import build_xbot_model
+from test_mega_kernel import _states, _run
+m = build_xbot_model()
+stb = _states(m, 4)
+rng = np.random.default_rng(1)
+targets = jnp.asarray(rng.uniform(-0.2, 0.2, (4, 12)), jnp.float32)
+ref = _run(m, 'apgd', stb, targets, n_steps=3)
+meg = _run(m, 'mega_interpret', stb, targets, n_steps=3)
+np.testing.assert_allclose(np.asarray(meg.qpos), np.asarray(ref.qpos), atol=5e-4)
+np.testing.assert_allclose(np.asarray(meg.qvel), np.asarray(ref.qvel), atol=1e-2)
+print('OK')
+"""
+    env = dict(os.environ, HGT_MEGA_SUB="2", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [_sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=1500,
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
