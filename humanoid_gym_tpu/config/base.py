@@ -70,6 +70,14 @@ class TerrainCfg:
     # rubble-style amplitude ramp: cell height ~ U[0, base + span*difficulty]
     rubble_base: float = 0.05
     rubble_span: float = 0.30
+    # EXTENSION: curriculum promotion rule. "distance" is the reference's
+    # frozen formula (promote when walked > terrain_length/2 — which caps
+    # exposure at the amplitude the policy can WALK). "survival" promotes
+    # envs that reach timeout AND covered >=50% of the commanded distance
+    # (standing at cmd~0 counts), demotes only on a fall before half the
+    # episode — pushing exposure to the amplitude the policy can SURVIVE,
+    # which is what the deployment hfield actually demands.
+    curriculum_mode: str = "distance"
 
 
 @dataclass

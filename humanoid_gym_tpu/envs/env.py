@@ -613,11 +613,21 @@ class HumanoidEnv:
         level, ttype, env_origin = state.terrain_level, state.terrain_type, state.env_origin
         if cfg.terrain.curriculum and self.terrain_origins is not None:
             dist = jnp.linalg.norm(phys.qpos[:2] - env_origin[:2])
-            move_up = dist > cfg.terrain.terrain_length / 2
             need = (
                 jnp.linalg.norm(commands[:2]) * cfg.env.episode_length_s * 0.5
             )
-            move_down = (dist < need) & ~move_up
+            if getattr(cfg.terrain, "curriculum_mode", "distance") == "survival":
+                # survival promotion (EXTENSION, config/base.py note): the
+                # reference's distance rule equilibrates at the amplitude
+                # the policy can WALK 2.5 m on; the deployment footing gap
+                # demands SURVIVING deeper amplitude (docs/ROUND3.md)
+                move_up = time_out & (dist >= need)
+                move_down = (~time_out) & (
+                    state.episode_length < self.max_episode_length // 2
+                )
+            else:
+                move_up = dist > cfg.terrain.terrain_length / 2
+                move_down = (dist < need) & ~move_up
             new_level = level + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
             rand_level = jax.random.randint(k_lvl, (), 0, self.max_terrain_level)
             new_level = jnp.where(

@@ -909,20 +909,25 @@ def _build_mega_kernel(
                 # slots); the solve runs once per 128-lane sublane group at
                 # the S=1 layout, reusing one S=1-shaped Cholesky scratch,
                 # so its live footprint never grows with S.
+                # keepdim slices (s:s+1): squeezing the sublane dim fails to
+                # lower ("Unsupported output implicit dimension"); the solve
+                # core is rank-agnostic, so each half runs at lane shape
+                # (1, 128) — one vreg per row, same live footprint as (128,)
                 qn_h, lam_h = [], []
                 for s in range(_SUB):
+                    sl = slice(s, s + 1)
                     q_s, l_s = _fused_core_opt(
                         L_s,
-                        Mt_s[:, :, s], Jt_s[:, :, s],
-                        qvel_t[:, s], rhs_t[:, s],
-                        tgt_s[:, s], sign_s[:, s],
-                        mu[:, s], valid[:, s], iterations,
-                        compliance=comp[s], lam0=lam_prev[:, s],
+                        Mt_s[:, :, sl], Jt_s[:, :, sl],
+                        qvel_t[:, sl], rhs_t[:, sl],
+                        tgt_s[:, sl], sign_s[:, sl],
+                        mu[:, sl], valid[:, sl], iterations,
+                        compliance=comp[sl], lam0=lam_prev[:, sl],
                     )
                     qn_h.append(q_s)
                     lam_h.append(l_s)
-                qvel_new = jnp.stack(qn_h, axis=1)
-                lam = jnp.stack(lam_h, axis=1)
+                qvel_new = jnp.concatenate(qn_h, axis=1)
+                lam = jnp.concatenate(lam_h, axis=1)
 
             # ---- velocity limits + semi-implicit integration (step.py) ----
             vx, vy, vz = qvel_new[0], qvel_new[1], qvel_new[2]
@@ -1076,10 +1081,13 @@ def _mega_call(
             pltpu.VMEM((ROWS,) + LS, jnp.float32),  # target
             pltpu.VMEM((ROWS,) + LS, jnp.float32),  # sign
             pltpu.VMEM((OUT_ROWS,) + LS, jnp.float32),  # state
-            # Cholesky L: ALWAYS the S=1 lane shape — at S>1 the solve runs
-            # once per 128-lane sublane group (split solve) and reuses this
-            # scratch, so solve-stage VMEM does not scale with S
-            pltpu.VMEM((NVP, NVP, ENV_TILE), jnp.float32),  # Cholesky L
+            # Cholesky L: ALWAYS one 128-lane group wide — at S>1 the solve
+            # runs once per sublane group (split solve, lane shape (1, 128))
+            # and reuses this scratch, so solve VMEM does not scale with S
+            pltpu.VMEM(
+                (NVP, NVP) + ((ENV_TILE,) if _SUB == 1 else (1, 128)),
+                jnp.float32,
+            ),  # Cholesky L
         ],
         # sublane-env input/state tiles still exceed the default 16 MB
         # scoped-vmem budget at large S; keep headroom (the split solve

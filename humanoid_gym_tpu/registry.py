@@ -219,6 +219,12 @@ def _register_builtin():
         cfg.terrain.rubble_base = 0.12
         cfg.domain_rand.max_push_vel_xy = 0.3
         cfg.domain_rand.max_push_ang_vel = 0.6
+        # v3: survival-based promotion (config/base.py curriculum_mode).
+        # The v2 run walked the hfield at reference-beating distance
+        # (2.15 m @ckpt1200) but its distance-rule curriculum equilibrated
+        # at ~0.17 m amplitude — survival on the 0.35 m deployment cells
+        # was never trained, and hfield survival plateaued at 11-13/24.
+        cfg.terrain.curriculum_mode = "survival"
 
     def joint_deploy_env(num_envs, cfg_overrides=None):
         from .envs.joint import make_joint_xbot_env

@@ -197,3 +197,39 @@ def test_deploy_window_matches_deployment_lookup():
         got = win[i, j] - win[i0, j0]
         want = expected[(i, j)] - expected[(i0, j0)]
         assert abs(got - want) < 2.5 * g.vertical_scale, (i, j, got, want)
+
+
+def test_survival_curriculum_promotes_standing_survivor():
+    """curriculum_mode='survival' (EXTENSION, config/base.py): an env that
+    reaches timeout at ~zero command must PROMOTE (standing survival is the
+    skill the deployment hfield demands); the reference distance rule would
+    hold it at its level forever (walked 0 m < terrain_length/2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from humanoid_gym_tpu import registry
+
+    def ov(c):
+        c.terrain.curriculum_mode = "survival"
+        c.terrain.num_rows = 6
+        c.terrain.max_init_terrain_level = 1
+        c.terrain.rubble_base = 0.0
+        c.terrain.rubble_span = 0.0  # flat "rubble" so standing survives
+        c.env.episode_length_s = 1.5
+        c.commands.ranges.lin_vel_x = [0.0, 0.0]
+        c.commands.ranges.lin_vel_y = [0.0, 0.0]
+        c.commands.ranges.ang_vel_yaw = [0.0, 0.0]
+        c.commands.heading_command = False
+        c.domain_rand.push_robots = False
+
+    env, _ = registry.make_env("humanoid_ppo_rubble", num_envs=2, cfg_overrides=ov)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    st = jax.jit(env.init_state)(keys, jnp.arange(2))
+    lvl0 = np.asarray(st.terrain_level).copy()
+    step = jax.jit(env.step)
+    # PD holds the default pose; two timeout cycles pass (~1.5 s episodes)
+    for _ in range(340):
+        st, tr = step(st, jnp.zeros((2, 12)))
+    lvl = np.asarray(st.terrain_level)
+    assert (lvl > lvl0).any(), (lvl0, lvl)
