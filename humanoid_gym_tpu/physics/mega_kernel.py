@@ -115,13 +115,28 @@ C_JDAMP = 292
 C_ROWS = 304
 
 
+def _row_of_body(sm):
+    """Stacked-stage body row order is PAIR-MAJOR (round 3 leg pairing):
+    [base, L1, R1, L2, R2, ...] so depth-d pairs are contiguous 2-row
+    slices. Returns row index per body [0, 1, 3, 5, ..., 2, 4, 6, ...]."""
+    depth = sm.nj // 2
+    rows = [0] * sm.nb
+    for d in range(depth):
+        rows[1 + d] = 1 + 2 * d  # left chain body
+        rows[1 + depth + d] = 2 + 2 * d  # right chain body
+    return rows
+
+
 def _build_const_rows(sm) -> np.ndarray:
     arr = np.zeros((C_ROWS,), np.float32)
-    arr[C_MASS : C_MASS + sm.nb] = sm.mass
+    rob = _row_of_body(sm)
+    for b in range(sm.nb):
+        arr[C_MASS + rob[b]] = sm.mass[b]
     for i in range(3):
         for j in range(3):
             base = C_INERTIA + (i * 3 + j) * 16
-            arr[base : base + sm.nb] = sm.inertia[:, i, j]
+            for b in range(sm.nb):
+                arr[base + rob[b]] = sm.inertia[b, i, j]
     K = len(sm.cbody)
     for comp in range(3):
         arr[C_COFF + comp * K : C_COFF + (comp + 1) * K] = sm.coff[:, comp]
@@ -150,15 +165,40 @@ _NC3 = 3 * N_POINTS
 # --------------------------------------------------------------------------- #
 
 def _is_const(x):
-    return x is None or isinstance(x, (int, float))
+    # np.ndarray consts are LEG-PAIRED constants, shape (2,) + (1,)*len(LS):
+    # the left/right chain values of one mirror-symmetric model constant
+    # (round-3 leg pairing). They fold at trace time like floats; a pair
+    # that is all-zero folds to None, a uniform pair to a float.
+    return x is None or isinstance(x, (int, float)) or isinstance(x, np.ndarray)
+
+
+def _simp_const(r):
+    """Normalize a trace-time constant: all-zero -> None, uniform -> float."""
+    if isinstance(r, np.ndarray):
+        if not r.any():
+            return None
+        f0 = r.flat[0]
+        if (r == f0).all():
+            return float(f0)
+        return r
+    return float(r) if r != 0.0 else None
 
 
 def _mul(a, b):
     if a is None or b is None:
         return None
     if _is_const(a) and _is_const(b):
-        return float(a) * float(b)
+        return _simp_const(a * b if isinstance(a, np.ndarray)
+                           or isinstance(b, np.ndarray) else float(a) * float(b))
     if _is_const(a):
+        if isinstance(a, np.ndarray):
+            if not a.any():
+                return None
+            if (a == 1.0).all():
+                return b
+            if (a == -1.0).all():
+                return -b
+            return _pair_arr(a) * b
         a = float(a)
         if a == 0.0:
             return None
@@ -176,22 +216,27 @@ def _add(*terms):
     live = [t for t in terms if t is not None]
     if not live:
         return None
-    consts = [float(t) for t in live if _is_const(t)]
+    consts = [t for t in live if _is_const(t)]
     arrs = [t for t in live if not _is_const(t)]
-    c = sum(consts)
+    c = 0.0
+    for t in consts:
+        c = c + (t if isinstance(t, np.ndarray) else float(t))
     if not arrs:
-        return c if c != 0.0 else None
+        return _simp_const(c)
     acc = arrs[0]
     for t in arrs[1:]:
         acc = acc + t
-    if c != 0.0:
-        acc = acc + c
+    c = _simp_const(c)
+    if c is not None:
+        acc = acc + (_pair_arr(c) if isinstance(c, np.ndarray) else c)
     return acc
 
 
 def _neg(a):
     if a is None:
         return None
+    if isinstance(a, np.ndarray):
+        return -a
     if _is_const(a):
         return -float(a)
     return -a
@@ -237,6 +282,70 @@ def const_v3(v):
 # 3x3 matrices as tuples of row tuples
 def const_m3(m):
     return tuple(tuple(float(m[i][j]) for j in range(3)) for i in range(3))
+
+
+# ---- leg pairing (round 3) -------------------------------------------------
+# The XBot tree is two mirror-image 6-joint chains; FK/velocity/CRBA per-
+# depth quantities are computed ONCE as (2,) + LS values carrying (left,
+# right) on a leading axis, halving the lane-scalar op count of those
+# stages. Mirror symmetry keeps the zero PATTERNS of the per-leg constants
+# identical, so the symbolic-zero folding above survives pairing: a pair
+# constant folds to None when both legs are zero and to a float when both
+# are equal; otherwise it is a (2,) + (1,)*len(LS) numpy array that
+# broadcasts against (2,) + LS traced values (and auto-pairs unpaired
+# (LS)-shaped base quantities).
+
+def _cpair(l, r):
+    l, r = float(l), float(r)
+    if l == r:
+        return _simp_const(l) if l == 0.0 else l
+    return np.asarray([l, r]).reshape((2,) + (1,) * len(LS))
+
+
+# pallas forbids captured array constants, so a non-uniform pair constant
+# that must meet a traced value materializes INSIDE the kernel as an
+# iota-select, cached per (left, right) value for the current trace (the
+# cache is reset at each kernel trace entry — see kernel() below)
+_PAIR_CACHE: dict = {}
+
+
+def _pair_arr(a: np.ndarray):
+    key = (float(a.flat[0]), float(a.flat[1]))
+    v = _PAIR_CACHE.get(key)
+    if v is None:
+        leg = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        v = jnp.where(leg == 0, key[0], key[1]).astype(jnp.float32)
+        _PAIR_CACHE[key] = v
+    return v
+
+
+def const_v3_pair(vl, vr):
+    return tuple(_cpair(vl[k], vr[k]) for k in range(3))
+
+
+def const_m3_pair(ml, mr):
+    return tuple(
+        tuple(_cpair(ml[i][j], mr[i][j]) for j in range(3)) for i in range(3)
+    )
+
+
+def unpair(x, s):
+    """Leg s of a paired symbolic scalar (None/float/np pair/traced)."""
+    if x is None or isinstance(x, (int, float)):
+        return x
+    if isinstance(x, np.ndarray):
+        return float(x.reshape(2, -1)[s, 0])
+    if x.ndim == len(LS) + 1:
+        return x[s]
+    return x  # unpaired traced value shared by both legs
+
+
+def unpair_v3(v, s):
+    return tuple(unpair(v[k], s) for k in range(3))
+
+
+def unpair_m3(m, s):
+    return tuple(tuple(unpair(m[i][j], s) for j in range(3)) for i in range(3))
 
 
 def m_mul(A, B):
@@ -358,6 +467,12 @@ def _build_mega_kernel(
     nb = sm.nb
     K = len(sm.cbody)
     assert K == N_POINTS and nj == 12 and nb == 13
+    # leg pairing (FK/velocity stages) requires the tree to be two chains
+    # rooted at the base: left = bodies 1..6, right = 7..12
+    assert sm.parent == [-1] + [0, 1, 2, 3, 4, 5] + [0, 7, 8, 9, 10, 11], (
+        "mega kernel's leg-paired FK assumes two mirror 6-joint chains; "
+        f"got parent={sm.parent}"
+    )
     if terrain is not None:
         terr_border, terr_inv_h, terr_nrow, terr_ncol = (
             float(terrain[0]), float(terrain[1]), float(terrain[2]), float(terrain[3])
@@ -365,6 +480,7 @@ def _build_mega_kernel(
 
     def kernel(in_ref, *rest):
         """st_s rows: 0-18 qpos, 19-36 qvel, 37-96 lam, 97-108 tau."""
+        _PAIR_CACHE.clear()  # per-trace iota-select cache (leg pairing)
         if terrain:
             in2_ref, inc_ref, out_ref, Mt_s, Jt_s, tgt_s, sign_s, st_s, L_s = rest
             in2 = in2_ref[0]  # (IN2_ROWS, 128)
@@ -442,7 +558,6 @@ def _build_mega_kernel(
                 (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
                 (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
             )
-            R = [R0]
             # FK is seeded at the ORIGIN: every position below (p, pivot_w,
             # com_w, contact X) is base-relative, which keeps the f32 CRBA /
             # screw algebra translation-invariant. Absolute world coordinates
@@ -450,72 +565,139 @@ def _build_mega_kernel(
             # m*c^2 composite terms swamp the ~1e-2 inertia entries and the
             # Cholesky goes NaN from cancellation. pos0 is re-added only for
             # the ground-height query.
-            p = [v3()]
-            axis_w = []
-            pivot_w = []
-            for i in range(nj):
-                par = sm.parent[i + 1]
-                Rp, pp = R[par], p[par]
-                Rj = m_mul(Rp, const_m3(sm.joint_rot[i]))
-                pj = v_add(m_vec(Rp, const_v3(sm.joint_pos[i])), pp)
-                a_w = m_vec(Rj, const_v3(sm.joint_axis[i]))
-                s_i = jnp.sin(qj[i])
-                c_i = jnp.cos(qj[i])
+            #
+            # LEG-PAIRED (round 3): the tree is two mirror 6-joint chains
+            # (left = joints 0..5 / bodies 1..6, right = 6..11 / 7..12,
+            # asserted at build); each depth's FK runs ONCE on (2,) + LS
+            # values — (left, right) on a leading axis — halving this
+            # stage's lane-scalar op count. The base R0 stays (LS)-shaped
+            # and auto-pairs by broadcast at depth 0.
+            depth = nj // 2
+            R_pr, p_pr, axw_pr = [], [], []
+            for d in range(depth):
+                jl, jr = d, d + depth
+                if d == 0:
+                    Rp, pp = R0, v3()
+                else:
+                    Rp, pp = R_pr[d - 1], p_pr[d - 1]
+                Rj = m_mul(Rp, const_m3_pair(sm.joint_rot[jl], sm.joint_rot[jr]))
+                pj = v_add(
+                    m_vec(Rp, const_v3_pair(sm.joint_pos[jl], sm.joint_pos[jr])),
+                    pp,
+                )
+                a_w = m_vec(
+                    Rj, const_v3_pair(sm.joint_axis[jl], sm.joint_axis[jr])
+                )
+                qj_p = jnp.stack([qj[jl], qj[jr]])
+                s_i = jnp.sin(qj_p)
+                c_i = jnp.cos(qj_p)
                 Rax = tuple(
                     tuple(
                         _add(
-                            float(sm.ax_const[i][r][c]),
-                            _mul(float(sm.ax_sin[i][r][c]), s_i),
-                            _mul(float(sm.ax_cos[i][r][c]), c_i),
+                            _cpair(sm.ax_const[jl][r][c], sm.ax_const[jr][r][c]),
+                            _mul(_cpair(sm.ax_sin[jl][r][c],
+                                        sm.ax_sin[jr][r][c]), s_i),
+                            _mul(_cpair(sm.ax_cos[jl][r][c],
+                                        sm.ax_cos[jr][r][c]), c_i),
                         )
                         for c in range(3)
                     )
                     for r in range(3)
                 )
-                R.append(m_mul(Rj, Rax))
-                p.append(pj)
-                axis_w.append(a_w)
-                pivot_w.append(pj)
-            com_w = [
-                v_add(p[b], m_vec(R[b], const_v3(sm.com[b]))) for b in range(nb)
+                R_pr.append(m_mul(Rj, Rax))
+                p_pr.append(pj)
+                axw_pr.append(a_w)
+
+            # ---- velocity / bias-acceleration recursion (LEG-PAIRED) ----
+            # (dynamics.py bias_forces_explicit — same world-frame recursion)
+            omg_pr, alp_pr, vo_pr, ao_pr = [], [], [], []
+            for d in range(depth):
+                jl, jr = d, d + depth
+                if d == 0:
+                    w_p, al_p, v_p, a_p, pp = omg0, v3(), vlin, v3(), v3()
+                else:
+                    w_p, al_p = omg_pr[d - 1], alp_pr[d - 1]
+                    v_p, a_p = vo_pr[d - 1], ao_pr[d - 1]
+                    pp = p_pr[d - 1]
+                r = v_sub(p_pr[d], pp)
+                wxr = v_cross(w_p, r)
+                dqj_p = jnp.stack([dqj[jl], dqj[jr]])
+                omg_pr.append(v_add(w_p, v_scale(axw_pr[d], dqj_p)))
+                alp_pr.append(
+                    v_add(al_p, v_scale(v_cross(w_p, axw_pr[d]), dqj_p))
+                )
+                vo_pr.append(v_add(v_p, wxr))
+                ao_pr.append(v_add(a_p, v_cross(al_p, r), v_cross(w_p, wxr)))
+
+            # COM positions stay paired (consumed by the stacked body stage)
+            com0 = m_vec(R0, const_v3(sm.com[0]))  # base at relative origin
+            com_pr = [
+                v_add(
+                    p_pr[d],
+                    m_vec(
+                        R_pr[d],
+                        const_v3_pair(sm.com[1 + d], sm.com[1 + depth + d]),
+                    ),
+                )
+                for d in range(depth)
             ]
 
-            # ---- velocity / bias-acceleration recursion ----
-            # (dynamics.py bias_forces_explicit — same world-frame recursion)
-            omg = [omg0]
-            alp = [v3()]
-            v_o = [vlin]
-            a_o = [v3()]
-            for i in range(nj):
-                par = sm.parent[i + 1]
-                w_p, al_p = omg[par], alp[par]
-                v_p, a_p = v_o[par], a_o[par]
-                r = v_sub(pivot_w[i], p[par])
-                wxr = v_cross(w_p, r)
-                omg.append(v_add(w_p, v_scale(axis_w[i], dqj[i])))
-                alp.append(v_add(al_p, v_scale(v_cross(w_p, axis_w[i]), dqj[i])))
-                v_o.append(v_add(v_p, wxr))
-                a_o.append(
-                    v_add(a_p, v_cross(al_p, r), v_cross(w_p, wxr))
+            # unpair ONLY what the contact stage consumes as singles: the
+            # foot-body frames and each leg's per-joint axes/pivots.
+            # Everything else (body stage, subtree accumulation, bias
+            # vector, CRBA columns) stays paired.
+            R = {0: R0}
+            p = {0: v3()}
+            axis_w, pivot_w = [None] * nj, [None] * nj
+            for leg in range(2):
+                fb = depth if leg == 0 else nb - 1  # leg tip bodies (6, 12)
+                R[fb] = unpair_m3(R_pr[depth - 1], leg)
+                p[fb] = unpair_v3(p_pr[depth - 1], leg)
+                for d in range(depth):
+                    axis_w[leg * depth + d] = unpair_v3(axw_pr[d], leg)
+                    pivot_w[leg * depth + d] = unpair_v3(p_pr[d], leg)
+
+            # ---- per-body forces & composite moments (STACKED, pair-major
+            # body order) ----
+            # Bodies live on the SUBLANE axis as one (NBP,) + LS array per
+            # quantity, in PAIR-MAJOR row order [base, L1, R1, L2, R2, ...]
+            # (round 3): rows are built straight from the leg-paired FK
+            # values with one stack+reshape per component (no per-body
+            # unpair), and depth-d subtree quantities extract back out as
+            # contiguous (2,) + LS row slices. Model constants (masses,
+            # inertia) are packed in the same order (_build_const_rows).
+            NBP = 16
+            f32_ = jnp.float32
+
+            def mat_pair(x):
+                if x is None:
+                    return jnp.zeros((2,) + LS, f32_)
+                if isinstance(x, np.ndarray):
+                    return jnp.broadcast_to(_pair_arr(x), (2,) + LS)
+                if isinstance(x, (int, float)):
+                    return jnp.full((2,) + LS, float(x), f32_)
+                if x.ndim == len(LS):
+                    return jnp.broadcast_to(x, (2,) + LS)
+                return x
+
+            _pad_rows = jnp.zeros((NBP - 1 - 2 * depth,) + LS, f32_)
+
+            def stk_pm(base_val, pairs):
+                rows = jnp.stack([mat_pair(q) for q in pairs])  # (depth, 2)+LS
+                return jnp.concatenate(
+                    [
+                        _materialize(base_val)[None],
+                        rows.reshape((2 * depth,) + LS),
+                        _pad_rows,
+                    ],
+                    axis=0,
                 )
 
-            # ---- per-body forces & composite moments (STACKED) ----
-            # Bodies live on the SUBLANE axis: each quantity is one
-            # (NBP,) + LS array carrying all nb bodies (pad rows zero), so
-            # the ~2.3k per-body lane-scalar equations of the unstacked loop
-            # become ~200 ops at (16, 128) width. The tree accumulation that
-            # follows unstacks back to per-body scalars (row slices) because
-            # parent-chain updates are sparse and sequential.
-            NBP = 16
-            zero_ls = jnp.zeros(LS, jnp.float32)
-
-            def stk(vals):
-                rows = [_materialize(v) for v in vals]
-                rows += [zero_ls] * (NBP - len(vals))
-                return jnp.stack(rows)
-
-            def stk3(tuples):
-                return tuple(stk([t[i] for t in tuples]) for i in range(3))
+            def stk3_pm(base_tuple, pair_list):
+                return tuple(
+                    stk_pm(base_tuple[i], [q[i] for q in pair_list])
+                    for i in range(3)
+                )
 
             def cross_st(a, b):
                 return (
@@ -533,14 +715,17 @@ def _build_mega_kernel(
                 )
 
             Rst = [
-                [stk([R[b][i][j] for b in range(nb)]) for j in range(3)]
+                [
+                    stk_pm(R0[i][j], [R_pr[d][i][j] for d in range(depth)])
+                    for j in range(3)
+                ]
                 for i in range(3)
             ]
-            com_st = stk3(com_w)
-            p_st = stk3(p)
-            omg_st = stk3(omg)
-            alp_st = stk3(alp)
-            ao_st = stk3(a_o)
+            com_st = stk3_pm(com0, com_pr)
+            p_st = stk3_pm(v3(), p_pr)
+            omg_st = stk3_pm(omg0, omg_pr)
+            alp_st = stk3_pm(v3(), alp_pr)
+            ao_st = stk3_pm(v3(), ao_pr)
 
             brow = jax.lax.broadcasted_iota(jnp.int32, (NBP,) + LS, 0)
             ms_b = jnp.where(brow == 0, ms, 1.0)  # base-mass DR on row 0
@@ -605,39 +790,48 @@ def _build_mega_kernel(
                 Iw_st[5] - mass_st * cc[5],
             )
 
-            # unstack to per-body scalars for the sparse tree accumulation
-            f_b = [tuple(f_st[i][b] for i in range(3)) for b in range(nb)]
-            tau_o = [tuple(tau_o_st[i][b] for i in range(3)) for b in range(nb)]
-            m_arr = [mass_st[b] for b in range(nb)]
-            s_vec = [tuple(s_st[i][b] for i in range(3)) for b in range(nb)]
-            I_o = [tuple(Io_st[k][b] for k in range(6)) for b in range(nb)]
+            # ---- subtree accumulation, PAIRED ----
+            # Whole-robot totals (base subtree) are one sublane reduce per
+            # quantity (pad rows are zero); per-depth subtree composites are
+            # suffix sums of contiguous (2,) + LS pair rows down each chain.
+            quants = list(f_st) + list(tau_o_st) + [mass_st] + list(s_st) \
+                + list(Io_st)  # 16 stacked arrays
+            tot = [jnp.sum(q, axis=0) for q in quants]
+            F_tot, T_tot = tuple(tot[0:3]), tuple(tot[3:6])
+            M_tot, S_tot, Io_tot = tot[6], tuple(tot[7:10]), tuple(tot[10:16])
 
-            # reverse accumulation child -> parent (chains: reverse index order)
-            F_sub = list(f_b)
-            T_sub = list(tau_o)
-            M_sub = list(m_arr)
-            S_sub = list(s_vec)
-            Io_sub = list(I_o)
-            for b in range(nb - 1, 0, -1):
-                par = sm.parent[b]
-                F_sub[par] = v_add(F_sub[par], F_sub[b])
-                T_sub[par] = v_add(T_sub[par], T_sub[b])
-                M_sub[par] = _add(M_sub[par], M_sub[b])
-                S_sub[par] = v_add(S_sub[par], S_sub[b])
-                Io_sub[par] = sym_add(Io_sub[par], Io_sub[b])
+            sub_pr = [None] * depth  # [d] -> list of 16 (2,)+LS subtree sums
+            prev = None
+            for d in reversed(range(depth)):
+                cur = [q[1 + 2 * d : 3 + 2 * d] for q in quants]
+                if prev is not None:
+                    cur = [a + b for a, b in zip(cur, prev)]
+                sub_pr[d] = cur
+                prev = cur
+            F_pr = [tuple(sub_pr[d][0:3]) for d in range(depth)]
+            T_pr = [tuple(sub_pr[d][3:6]) for d in range(depth)]
+            M_pr = [sub_pr[d][6] for d in range(depth)]
+            S_pr = [tuple(sub_pr[d][7:10]) for d in range(depth)]
+            Io_pr = [tuple(sub_pr[d][10:16]) for d in range(depth)]
 
-            # ---- bias vector h (= J^T of accumulated forces) ----
+            # ---- bias vector h (= J^T of accumulated forces), PAIRED ----
             h = [None] * NV
-            h[0], h[1], h[2] = F_sub[0]
-            tb = T_sub[0]  # base sits at the (relative) origin
-            h[3], h[4], h[5] = tb
-            for i in range(nj):
-                b = i + 1
-                ti = v_sub(T_sub[b], v_cross(pivot_w[i], F_sub[b]))
-                h[6 + i] = v_dot(axis_w[i], ti)
+            h[0], h[1], h[2] = F_tot
+            h[3], h[4], h[5] = T_tot  # base sits at the (relative) origin
+            h_pr = [
+                v_dot(
+                    axw_pr[d],
+                    v_sub(T_pr[d], v_cross(p_pr[d], F_pr[d])),
+                )
+                for d in range(depth)
+            ]
+            # joint-order (12,)+LS rows [L1..L6, R1..R6] via one stack along
+            # a new axis-1 + reshape (leg-major flattening)
+            h_j = jnp.stack(
+                [mat_pair(x) for x in h_pr], axis=1
+            ).reshape((nj,) + LS)
 
-            # ---- mass matrix via composite screws ----
-            # screw of each DOF column about the world origin
+            # ---- mass matrix via composite screws, PAIRED joint columns --
             screws = []
             for kk in range(3):  # base translation
                 e = [0.0] * 3
@@ -647,8 +841,9 @@ def _build_mega_kernel(
                 e = [0.0] * 3
                 e[kk] = 1.0
                 screws.append((tuple(e), v3()))  # pivot = base = origin
-            for i in range(nj):
-                screws.append((axis_w[i], v_cross(pivot_w[i], axis_w[i])))
+            screw_pr = [
+                (axw_pr[d], v_cross(p_pr[d], axw_pr[d])) for d in range(depth)
+            ]
 
             def momentum(comp_m, comp_s, comp_Io, S):
                 w_s, v_s = S
@@ -658,49 +853,68 @@ def _build_mega_kernel(
 
             # NOTE on stacking (tried, reverted): batching the pair products
             # over columns — Mcol = Σ_k S_stack[k]·F_c[k] with ancestor
-            # masks — COSTS more than this scalar loop: the constant base
-            # screws make ~100 of the ~135 entries fold to component selects
+            # masks — COSTS more than the scalar loop: the constant base
+            # screws make most base-block entries fold to component selects
             # (zero ops) under the symbolic-zero algebra, while the dense
             # column product pays 11 wide ops per column regardless.
+            # Joint columns are instead LEG-PAIRED (round 3): one momentum +
+            # pair-product evaluation per depth covers both legs' columns.
             def pair(S, F):
                 w_s, v_s = S
                 f, t = F
                 return _add(v_dot(w_s, t), v_dot(v_s, f))
 
-            M_entries = {}
             # base 6x6 block from the whole-robot composite
             F_base = [
-                momentum(M_sub[0], S_sub[0], Io_sub[0], screws[c])
-                for c in range(6)
+                momentum(M_tot, S_tot, Io_tot, screws[c]) for c in range(6)
             ]
             for c1 in range(6):
                 for c2 in range(c1, 6):
-                    M_entries[(c1, c2)] = pair(screws[c1], F_base[c2])
-            # joint columns: momentum through the joint's subtree composite
-            for i in range(nj):
-                b = i + 1
-                Fi = momentum(M_sub[b], S_sub[b], Io_sub[b], screws[6 + i])
+                    mv = _materialize(pair(screws[c1], F_base[c2]))
+                    Mt_s[c1, c2] = mv
+                    if c1 != c2:
+                        Mt_s[c2, c1] = mv
+            # joint columns: momentum through the joint's subtree composite,
+            # one PAIRED evaluation per depth; entries land in each leg's
+            # quadrant via unpair
+            for d in range(depth):
+                jl, jr = 6 + d, 6 + depth + d
+                Fi = momentum(M_pr[d], S_pr[d], Io_pr[d], screw_pr[d])
                 for c in range(6):  # base couplings
-                    M_entries[(c, 6 + i)] = pair(screws[c], Fi)
-                for j in sm.anc[b]:  # ancestor joints (includes i itself)
-                    M_entries[(6 + j, 6 + i)] = pair(screws[6 + j], Fi)
-
-            # store Mtilde = M + diag(armature) + dt·diag(kd + damping)
-            for (r, c), val in M_entries.items():
-                if r == c:
-                    if r >= 6:
-                        jj = r - 6
-                        # implicit damping uses the DR-scaled kd
+                    val = pair(screws[c], Fi)
+                    for leg, col in ((0, jl), (1, jr)):
+                        mv = _materialize(unpair(val, leg))
+                        Mt_s[c, col] = mv
+                        Mt_s[col, c] = mv
+                for a in range(d + 1):  # ancestor joints (includes d itself)
+                    val = pair(screw_pr[a], Fi)
+                    if a == d:
+                        # diagonal: + armature + dt·(kd·kd_s + damping)
                         val = _add(
                             val,
-                            _mul(dt * float(sm.kd[jj]), kd_s),
-                            float(sm.armature[jj]) + dt * float(sm.damping[jj]),
+                            _mul(
+                                _mul(
+                                    dt,
+                                    _cpair(sm.kd[d], sm.kd[depth + d]),
+                                ),
+                                kd_s,
+                            ),
+                            _cpair(
+                                sm.armature[d] + dt * sm.damping[d],
+                                sm.armature[depth + d]
+                                + dt * sm.damping[depth + d],
+                            ),
                         )
-                    Mt_s[r, c] = _materialize(val)
-                else:
-                    mv = _materialize(val)
-                    Mt_s[r, c] = mv
-                    Mt_s[c, r] = mv
+                        for leg, col in ((0, jl), (1, jr)):
+                            Mt_s[col, col] = _materialize(unpair(val, leg))
+                    else:
+                        for leg, (ra, cb) in (
+                            (0, (6 + a, jl)),
+                            (1, (6 + depth + a, jr)),
+                        ):
+                            mv = _materialize(unpair(val, leg))
+                            Mt_s[ra, cb] = mv
+                            Mt_s[cb, ra] = mv
 
             # ---- contact candidate rows, STACKED over points ----
             # Points live on the sublane axis as (K,)+LS arrays (the model's
@@ -872,7 +1086,6 @@ def _build_mega_kernel(
                 -inc[C_JFRIC : C_JFRIC + nj] * jnp.tanh(dqj_st / 0.05)
                 - inc[C_JDAMP : C_JDAMP + nj] * dqj_st
             )
-            h_j = jnp.stack([_materialize(h[6 + j]) for j in range(nj)])
             rhs_t = jnp.concatenate(
                 [
                     jnp.stack([_materialize(_mul(-dt, h[v])) for v in range(6)]),
