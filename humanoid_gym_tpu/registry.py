@@ -225,6 +225,17 @@ def _register_builtin():
         # at ~0.17 m amplitude — survival on the 0.35 m deployment cells
         # was never trained, and hfield survival plateaued at 11-13/24.
         cfg.terrain.curriculum_mode = "survival"
+        # v4: sharper speed-tracking teeth. The v3 run nailed survival
+        # (18-20/24, reference-level) but its gait turned cautious — hfield
+        # mean progress 0.96 m vs the reference's 1.53 m, with cmd-0.4
+        # rollouts stalling below the 50%-tracking gate. The smooth
+        # exp(-5·err²) tracking term barely distinguishes 50% tracking from
+        # 100%; the sharp terms are `low_speed` (hard −1.0 below half the
+        # commanded speed, +1.2 in-band — humanoid_env.py:469-500) and
+        # `track_vel_hard` (exp(-10·err) + linear −0.2·err). Raise both so
+        # standing still at cmd>0 costs reward even at deep terrain levels.
+        cfg.rewards.scales.low_speed = 0.6
+        cfg.rewards.scales.track_vel_hard = 1.0
 
     def joint_deploy_env(num_envs, cfg_overrides=None):
         from .envs.joint import make_joint_xbot_env
