@@ -73,6 +73,13 @@ log_dir = os.environ.get("HGT_MH_LOGDIR")
 runner = OnPolicyRunner(env, tcfg, log_dir=log_dir)
 runner.learn(2, init_at_random_ep_len=True)
 print(f"RUNNER_OK pid={pid} rew={runner.rewbuffer and runner.rewbuffer[-1] or 0}", flush=True)
+
+# End-of-test rendezvous: under heavy CPU load the host-0-only logging above
+# can leave the processes minutes apart, and the laggard then misses the
+# (short) jax.distributed shutdown barrier — the sync has a generous timeout
+# and reorders exit to roughly simultaneous.
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("end_of_test")
 """
 
 
