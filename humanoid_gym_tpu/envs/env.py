@@ -151,6 +151,14 @@ class HumanoidEnv:
             terrain_map=terrain_map,
         )
 
+        # mega solver ships end-of-step feet/knee kinematics in
+        # PhysicsState.fk_out (OUT_FK rows) — skip the XLA-side
+        # fk()/body_velocities() per policy step (26% of the train
+        # iteration, docs/ROUND3.md). Probe points all sit on the base for
+        # XBot-L/S, so termination probes need only the base quat.
+        self._kernel_fk = cfg.sim.solver.solver_type.startswith("mega")
+        self._probe_on_base = all(int(b) == 0 for b in m.probe_point_body)
+
         # reward pipeline: nonzero scales, premultiplied by dt
         # (reference legged_robot.py:518-537)
         scales = cfg.rewards.scales.nonzero_terms()
@@ -259,17 +267,28 @@ class HumanoidEnv:
         ref = ref.at[8].set(sin_r * s1).at[9].set(sin_r * s2).at[10].set(sin_r * s1)
         return jnp.where(jnp.abs(sin_pos) < 0.1, 0.0, ref)
 
-    def _probe_flags(self, kfk):
+    def _probe_flags(self, phys, kfk=None):
         """Penetration flags per termination/penalized body (geometric
         equivalent of reference contact-force checks legged_robot.py:159,
-        humanoid_env.py:528)."""
+        humanoid_env.py:528). When every probe body is the base (XBot-L/S),
+        probe points need only the base pose — no FK; otherwise the caller
+        passes the XLA fk() result."""
         if len(self._probe_body) == 0:
             z = jnp.zeros(max(len(self._term_bodies), 1), bool)
             return z, z
         bidx = jnp.asarray(self._probe_body)
-        Rb = kfk.R[bidx]
-        pb = kfk.p[bidx]
-        pos = pb + jnp.einsum("kij,kj->ki", Rb, self.model.probe_point_offset)
+        if self._probe_on_base:
+            pos = phys.qpos[:3] + S.quat_rotate(
+                phys.qpos[3:7], self.model.probe_point_offset
+            )
+        else:
+            if kfk is None:
+                kfk = fk(self.model, phys.qpos)
+            Rb = kfk.R[bidx]
+            pb = kfk.p[bidx]
+            pos = pb + jnp.einsum(
+                "kij,kj->ki", Rb, self.model.probe_point_offset
+            )
         gap = pos[:, 2] - self.terrain_height_fn(pos[:, 0], pos[:, 1])
         pen = gap < 0.0
         term_flags = jnp.stack(
@@ -410,6 +429,7 @@ class HumanoidEnv:
             torques=jnp.zeros(m.nj),
             contact_lam=jnp.zeros(3 * m.ncon + m.nj),
             slope_bias=slope_bias,
+            fk_out=jnp.zeros(14),
         )
         quat = qpos[3:7]
         na, nj = self.num_actions, m.nj
@@ -520,15 +540,26 @@ class HumanoidEnv:
             phys = phys.replace(qvel=jnp.where(do_push, qvel_pushed, phys.qvel))
 
         # ---- FK-derived quantities for rewards/termination ----
-        kfk = fk(m, phys.qpos)
-        bv = body_velocities(m, phys.qpos, phys.qvel)
-        feet_z = kfk.p[self.feet_idx, 2]
-        feet_pos_xy = kfk.p[self.feet_idx, :2]
-        knee_pos_xy = kfk.p[self.knee_idx, :2]
-        feet_vel_xy = bv.v_origin[self.feet_idx, :2]
+        if self._kernel_fk:
+            # decoded from the mega kernel's end-of-step OUT_FK rows
+            # (mega_kernel.py): positions base-relative, velocities world
+            rel = phys.fk_out
+            base_xy = phys.qpos[:2]
+            feet_z = rel[4:6] + phys.qpos[2]
+            feet_pos_xy = jnp.stack([rel[0:2], rel[2:4]], axis=1) + base_xy
+            knee_pos_xy = jnp.stack([rel[6:8], rel[8:10]], axis=1) + base_xy
+            feet_vel_xy = jnp.stack([rel[10:12], rel[12:14]], axis=1)
+            kfk = None
+        else:
+            kfk = fk(m, phys.qpos)
+            bv = body_velocities(m, phys.qpos, phys.qvel)
+            feet_z = kfk.p[self.feet_idx, 2]
+            feet_pos_xy = kfk.p[self.feet_idx, :2]
+            knee_pos_xy = kfk.p[self.knee_idx, :2]
+            feet_vel_xy = bv.v_origin[self.feet_idx, :2]
         feet_force = phys.contact_forces[self.feet_idx]
         contact = feet_force[:, 2] > 5.0
-        term_flags, pen_flags = self._probe_flags(kfk)
+        term_flags, pen_flags = self._probe_flags(phys, kfk)
 
         # ---- termination (legged_robot.py:156-161) ----
         # (plus the non-finite auto-reset; the reference has no equivalent —

@@ -154,7 +154,16 @@ OUT_QVEL = 19
 OUT_LAM = 37  # 60 rows (48 contact + 12 limit), physical signs
 OUT_TAU = 97
 OUT_FF = 109  # 6 rows: per-foot WORLD-frame contact impulse sums (2 x xyz)
-OUT_ROWS = 120
+# 14 rows of END-OF-STEP chain kinematics (round 3): the env's XLA-side
+# fk()/body_velocities() per policy step measured 26% of the train
+# iteration (docs/ROUND3.md); the kernel re-runs its paired
+# position/velocity recursion once on the final state instead. Layout
+# (pair-major, components minor): [fLx,fRx, fLy,fRy, fLz,fRz,
+# kLx,kRx, kLy,kRy, vLx,vRx, vLy,vRy] — feet/knee positions
+# BASE-RELATIVE (FK seeded at the origin), feet v_origin world-frame
+# (translation-invariant).
+OUT_FK = 115
+OUT_ROWS = 136
 
 _NC3 = 3 * N_POINTS
 
@@ -394,6 +403,19 @@ def _materialize(x, dtype=jnp.float32):
     return x
 
 
+def _mat_pair(x):
+    """Paired symbolic value -> concrete (2,) + LS array for stores."""
+    if x is None:
+        return jnp.zeros((2,) + LS, jnp.float32)
+    if isinstance(x, np.ndarray):
+        return jnp.broadcast_to(_pair_arr(x), (2,) + LS)
+    if isinstance(x, (int, float)):
+        return jnp.full((2,) + LS, float(x), jnp.float32)
+    if x.ndim == len(LS):
+        return jnp.broadcast_to(x, (2,) + LS)
+    return x
+
+
 # --------------------------------------------------------------------------- #
 # static model extraction (numpy, once per kernel build)
 # --------------------------------------------------------------------------- #
@@ -421,6 +443,8 @@ class _StaticModel:
         self.gravity = np.asarray(model.gravity, np.float64)
         self.cbody = list(model.contact_point_body)
         self.cruns = model.contact_point_runs()  # (body, start, end) runs
+        self.feet = list(model.feet_body_idx)
+        self.knee = list(model.knee_body_idx)
         self.coff = np.asarray(model.contact_point_offset, np.float64)
         # per-joint rotation-about-axis coefficient matrices:
         # Raxis(θ) = I + sinθ·K + (1−cosθ)·K² → entry = (I+K²) + K·s − K²·c
@@ -473,6 +497,11 @@ def _build_mega_kernel(
         "mega kernel's leg-paired FK assumes two mirror 6-joint chains; "
         f"got parent={sm.parent}"
     )
+    # end-of-step FK output rows (OUT_FK): feet are the chain tips, knees
+    # sit mid-chain at the same depth in both legs
+    assert tuple(sm.feet) == (nj // 2, nb - 1), sm.feet
+    knee_depth = sm.knee[0] - 1
+    assert sm.knee[1] - 1 - nj // 2 == knee_depth, sm.knee
     if terrain is not None:
         terr_border, terr_inv_h, terr_nrow, terr_ncol = (
             float(terrain[0]), float(terrain[1]), float(terrain[2]), float(terrain[3])
@@ -527,28 +556,23 @@ def _build_mega_kernel(
         rr = jax.lax.broadcasted_iota(jnp.int32, (ROWS,) + LS, 0)
         valid = (rr < (_NC3 + nj)).astype(f32)
 
-        def substep(_, carry):
-            st = st_s[...]
-            pos0 = (st[0], st[1], st[2])
-            quat = (st[3], st[4], st[5], st[6])
-            qj = [st[7 + j] for j in range(nj)]
-            vlin = (st[19], st[20], st[21])
-            omg0 = (st[22], st[23], st[24])
-            dqj = [st[25 + j] for j in range(nj)]
+        def chain_kin(quat, qj, vlin, omg0, dqj, with_bias):
+            """Leg-paired FK + velocity recursion down the two mirror
+            6-joint chains (kinematics.py fk / body_velocities math).
+            Positions are BASE-RELATIVE: FK is seeded at the ORIGIN, which
+            keeps the f32 CRBA / screw algebra translation-invariant
+            (absolute world xy past ~100 m would make the m*c^2 composite
+            terms swamp the ~1e-2 inertia entries and the Cholesky goes
+            NaN from cancellation); pos0 is re-added only for the
+            ground-height query.
 
-            # ---- PD torques (legged_robot.py:340-356), motor-strength DR,
-            # STACKED: all 12 joints as one (nj,)+LS row block ----
-            qj_st = st[7 : 7 + nj]
-            dqj_st = st[25 : 25 + nj]
-            tgt_st = inp[IN_TGT : IN_TGT + nj]
-            tl_row = inc[C_TLIM : C_TLIM + nj]
-            tau_st = (
-                kp_s * inc[C_KP : C_KP + nj] * (tgt_st - qj_st)
-                - kd_s * inc[C_KD : C_KD + nj] * dqj_st
-            )
-            tau_st = jnp.clip(tau_st, -tl_row, tl_row)
-
-            # ---- FK down the tree (kinematics.py fk) ----
+            Each depth runs ONCE on (2,) + LS values — (left, right) on a
+            leading axis — halving the stage's lane-scalar op count (left =
+            joints 0..5 / bodies 1..6, right = 6..11 / 7..12, asserted at
+            build). The base R0 stays (LS)-shaped and auto-pairs by
+            broadcast at depth 0. alp/ao (bias accelerations) are computed
+            only when with_bias — the post-loop FK-output pass needs just
+            positions and v_origin."""
             w, x, y, z = quat
             xx, yy, zz = x * x, y * y, z * z
             xy, xz, yz = x * y, x * z, y * z
@@ -558,20 +582,6 @@ def _build_mega_kernel(
                 (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
                 (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
             )
-            # FK is seeded at the ORIGIN: every position below (p, pivot_w,
-            # com_w, contact X) is base-relative, which keeps the f32 CRBA /
-            # screw algebra translation-invariant. Absolute world coordinates
-            # (|xy| can exceed 100 m on big terrain grids) would make the
-            # m*c^2 composite terms swamp the ~1e-2 inertia entries and the
-            # Cholesky goes NaN from cancellation. pos0 is re-added only for
-            # the ground-height query.
-            #
-            # LEG-PAIRED (round 3): the tree is two mirror 6-joint chains
-            # (left = joints 0..5 / bodies 1..6, right = 6..11 / 7..12,
-            # asserted at build); each depth's FK runs ONCE on (2,) + LS
-            # values — (left, right) on a leading axis — halving this
-            # stage's lane-scalar op count. The base R0 stays (LS)-shaped
-            # and auto-pairs by broadcast at depth 0.
             depth = nj // 2
             R_pr, p_pr, axw_pr = [], [], []
             for d in range(depth):
@@ -608,26 +618,57 @@ def _build_mega_kernel(
                 p_pr.append(pj)
                 axw_pr.append(a_w)
 
-            # ---- velocity / bias-acceleration recursion (LEG-PAIRED) ----
-            # (dynamics.py bias_forces_explicit — same world-frame recursion)
+            # velocity / bias-acceleration recursion (dynamics.py
+            # bias_forces_explicit — same world-frame recursion)
             omg_pr, alp_pr, vo_pr, ao_pr = [], [], [], []
             for d in range(depth):
                 jl, jr = d, d + depth
                 if d == 0:
                     w_p, al_p, v_p, a_p, pp = omg0, v3(), vlin, v3(), v3()
                 else:
-                    w_p, al_p = omg_pr[d - 1], alp_pr[d - 1]
-                    v_p, a_p = vo_pr[d - 1], ao_pr[d - 1]
+                    w_p, al_p = omg_pr[d - 1], alp_pr[d - 1] if with_bias else None
+                    v_p, a_p = vo_pr[d - 1], ao_pr[d - 1] if with_bias else None
                     pp = p_pr[d - 1]
                 r = v_sub(p_pr[d], pp)
                 wxr = v_cross(w_p, r)
                 dqj_p = jnp.stack([dqj[jl], dqj[jr]])
                 omg_pr.append(v_add(w_p, v_scale(axw_pr[d], dqj_p)))
-                alp_pr.append(
-                    v_add(al_p, v_scale(v_cross(w_p, axw_pr[d]), dqj_p))
-                )
                 vo_pr.append(v_add(v_p, wxr))
-                ao_pr.append(v_add(a_p, v_cross(al_p, r), v_cross(w_p, wxr)))
+                if with_bias:
+                    alp_pr.append(
+                        v_add(al_p, v_scale(v_cross(w_p, axw_pr[d]), dqj_p))
+                    )
+                    ao_pr.append(
+                        v_add(a_p, v_cross(al_p, r), v_cross(w_p, wxr))
+                    )
+            return R0, R_pr, p_pr, axw_pr, omg_pr, alp_pr, vo_pr, ao_pr
+
+        def substep(_, carry):
+            st = st_s[...]
+            pos0 = (st[0], st[1], st[2])
+            quat = (st[3], st[4], st[5], st[6])
+            qj = [st[7 + j] for j in range(nj)]
+            vlin = (st[19], st[20], st[21])
+            omg0 = (st[22], st[23], st[24])
+            dqj = [st[25 + j] for j in range(nj)]
+
+            # ---- PD torques (legged_robot.py:340-356), motor-strength DR,
+            # STACKED: all 12 joints as one (nj,)+LS row block ----
+            qj_st = st[7 : 7 + nj]
+            dqj_st = st[25 : 25 + nj]
+            tgt_st = inp[IN_TGT : IN_TGT + nj]
+            tl_row = inc[C_TLIM : C_TLIM + nj]
+            tau_st = (
+                kp_s * inc[C_KP : C_KP + nj] * (tgt_st - qj_st)
+                - kd_s * inc[C_KD : C_KD + nj] * dqj_st
+            )
+            tau_st = jnp.clip(tau_st, -tl_row, tl_row)
+
+            # ---- FK + velocity/bias recursion (LEG-PAIRED; chain_kin) ----
+            depth = nj // 2
+            (R0, R_pr, p_pr, axw_pr, omg_pr, alp_pr, vo_pr, ao_pr) = chain_kin(
+                quat, qj, vlin, omg0, dqj, with_bias=True
+            )
 
             # COM positions stay paired (consumed by the stacked body stage)
             com0 = m_vec(R0, const_v3(sm.com[0]))  # base at relative origin
@@ -669,16 +710,7 @@ def _build_mega_kernel(
             NBP = 16
             f32_ = jnp.float32
 
-            def mat_pair(x):
-                if x is None:
-                    return jnp.zeros((2,) + LS, f32_)
-                if isinstance(x, np.ndarray):
-                    return jnp.broadcast_to(_pair_arr(x), (2,) + LS)
-                if isinstance(x, (int, float)):
-                    return jnp.full((2,) + LS, float(x), f32_)
-                if x.ndim == len(LS):
-                    return jnp.broadcast_to(x, (2,) + LS)
-                return x
+            mat_pair = _mat_pair
 
             _pad_rows = jnp.zeros((NBP - 1 - 2 * depth,) + LS, f32_)
 
@@ -1205,7 +1237,43 @@ def _build_mega_kernel(
             return carry
 
         jax.lax.fori_loop(0, decimation, substep, 0)
-        out_ref[0] = st_s[...]
+
+        # ---- end-of-step FK outputs (OUT_FK rows; see the layout note at
+        # the constant). One extra position/velocity recursion on the FINAL
+        # state replaces the env's per-policy-step XLA fk() +
+        # body_velocities() — measured at 26% of the train iteration
+        # (docs/ROUND3.md round-3 decomposition).
+        # pair-constant iota-selects created while tracing the fori_loop
+        # BODY are loop-scoped — reusing them out here captures them as
+        # kernel constants (pallas rejects those); re-materialize fresh
+        _PAIR_CACHE.clear()
+        stf = st_s[...]
+        quat_f = (stf[3], stf[4], stf[5], stf[6])
+        qj_f = [stf[7 + j] for j in range(nj)]
+        vlin_f = (stf[19], stf[20], stf[21])
+        omg_f = (stf[22], stf[23], stf[24])
+        dqj_f = [stf[25 + j] for j in range(nj)]
+        _, _, p_f, _, _, _, vo_f, _ = chain_kin(
+            quat_f, qj_f, vlin_f, omg_f, dqj_f, with_bias=False
+        )
+        dtip = nj // 2 - 1
+        fk_rows = jnp.concatenate(
+            [
+                _mat_pair(p_f[dtip][0]), _mat_pair(p_f[dtip][1]),
+                _mat_pair(p_f[dtip][2]),
+                _mat_pair(p_f[knee_depth][0]), _mat_pair(p_f[knee_depth][1]),
+                _mat_pair(vo_f[dtip][0]), _mat_pair(vo_f[dtip][1]),
+            ],
+            axis=0,
+        )
+        out_ref[0] = jnp.concatenate(
+            [
+                stf[:OUT_FK],
+                fk_rows,
+                jnp.zeros((OUT_ROWS - OUT_FK - 14,) + LS, jnp.float32),
+            ],
+            axis=0,
+        )
 
     return kernel
 
@@ -1342,7 +1410,8 @@ def make_mega_step_batched(
     contact_offset, kp_scale, kd_scale, contact_compliance,
     lam0 (60,) warm-start impulses, targets) ->
     (qpos_new, qvel_new, lam (60,), tau (nj,),
-     ff (6,) per-foot world-frame contact impulse sums).
+     ff (6,) per-foot world-frame contact impulse sums,
+     fk14 (14,) end-of-step feet/knee kinematics — OUT_FK layout).
     """
     from jax.custom_batching import custom_vmap
 
@@ -1417,7 +1486,7 @@ def make_mega_step_batched(
             apgd_solve, build_contact_setup, joint_limit_bounds,
         )
         from .dynamics import compute_dynamics
-        from .kinematics import f32_matmul
+        from .kinematics import f32_matmul, fk
         from .linalg import solve_lower_unrolled, solve_upper_unrolled
         from .step import pd_torques
 
@@ -1499,7 +1568,23 @@ def make_mega_step_batched(
         (qpos_n, qvel_n, lam_n), (taus, ffs) = jax.lax.scan(
             substep, (qpos, qvel, lam0), None, length=decimation
         )
-        return qpos_n, qvel_n, lam_n, taus[-1], ffs[-1]
+        # end-of-step FK rows (matches the kernel's OUT_FK layout: feet p
+        # and knee xy BASE-RELATIVE, feet v_origin world-frame)
+        from .kinematics import body_velocities
+
+        k_f = fk(model, qpos_n)
+        bv_f = body_velocities(model, qpos_n, qvel_n)
+        fidx = np.asarray(model.feet_body_idx)
+        kidx = np.asarray(model.knee_body_idx)
+        p_rel = k_f.p - qpos_n[:3]
+        fk14 = jnp.concatenate(
+            [
+                p_rel[fidx, 0], p_rel[fidx, 1], p_rel[fidx, 2],
+                p_rel[kidx, 0], p_rel[kidx, 1],
+                bv_f.v_origin[fidx, 0], bv_f.v_origin[fidx, 1],
+            ]
+        )
+        return qpos_n, qvel_n, lam_n, taus[-1], ffs[-1], fk14
 
     def batched(qpos, qvel, fric, bms, cstiff, coff, kps, kds, comp, lam0, sbias, targets):
         packed = jnp.concatenate(
@@ -1519,6 +1604,7 @@ def make_mega_step_batched(
             out[:, OUT_LAM:OUT_LAM + _NC3 + nj],
             out[:, OUT_TAU:OUT_TAU + nj],
             out[:, OUT_FF:OUT_FF + 6],
+            out[:, OUT_FK:OUT_FK + 14],
         )
 
     @step.def_vmap
@@ -1543,10 +1629,10 @@ def make_mega_step_batched(
                 batched,
                 mesh=ambient,
                 in_specs=(spec,) * 12,
-                out_specs=(spec,) * 5,
+                out_specs=(spec,) * 6,
                 check_rep=False,
             )
         out = fn(*args)
-        return out, (True, True, True, True, True)
+        return out, (True, True, True, True, True, True)
 
     return step

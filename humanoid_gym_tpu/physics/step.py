@@ -54,6 +54,14 @@ class PhysicsState:
     # survive their training engine's slopes fall on MuJoCo's). Inert on
     # flat terrain and at zeros.
     slope_bias: jnp.ndarray
+    # end-of-step feet/knee kinematics from the mega kernel ((14,) in the
+    # OUT_FK layout, mega_kernel.py): [fLx,fRx, fLy,fRy, fLz,fRz, kLx,kRx,
+    # kLy,kRy, vLx,vRx, vLy,vRy] — feet/knee positions BASE-RELATIVE, feet
+    # v_origin world-frame. Replaces the env's per-policy-step XLA
+    # fk()/body_velocities() (26% of the train iteration, docs/ROUND3.md).
+    # Left as zeros by the non-mega solver paths — the env falls back to
+    # XLA fk() there (dispatch is static, by solver type).
+    fk_out: jnp.ndarray
 
 
 def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> PhysicsState:
@@ -74,6 +82,7 @@ def default_state(model: RobotModel, base_pos, base_quat_wxyz, qj=None) -> Physi
         torques=jnp.zeros(njnt),
         contact_lam=jnp.zeros(3 * model.ncon + njnt),
         slope_bias=jnp.zeros(2),
+        fk_out=jnp.zeros(14),
     )
 
 
@@ -266,7 +275,7 @@ def make_physics_step(
         foot_idx = jnp.asarray([b for b, _, _ in model.contact_point_runs()])
 
         def step(state: PhysicsState, targets: jnp.ndarray) -> PhysicsState:
-            qpos_new, qvel_new, lam, tau, ff = mega(
+            qpos_new, qvel_new, lam, tau, ff, fk14 = mega(
                 state.qpos, state.qvel, state.friction,
                 state.base_mass_scale, state.contact_stiffness,
                 state.contact_offset, state.kp_scale, state.kd_scale,
@@ -279,7 +288,7 @@ def make_physics_step(
             cf = jnp.zeros((nb, 3), forces.dtype).at[foot_idx].add(forces)
             return state.replace(
                 qpos=qpos_new, qvel=qvel_new, contact_forces=cf, torques=tau,
-                contact_lam=lam,
+                contact_lam=lam, fk_out=fk14,
             )
 
         return step

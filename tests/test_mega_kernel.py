@@ -245,3 +245,37 @@ print('OK')
         timeout=1500,
     )
     assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
+
+
+@pytest.mark.slow
+def test_mega_fk_out_matches_xla_fk(xbot_model):
+    """The kernel's end-of-step OUT_FK rows (feet p, knee xy base-relative;
+    feet v_origin world-frame) must equal the XLA fk()/body_velocities()
+    they replace in the env (envs/env.py FK-derived quantities)."""
+    from humanoid_gym_tpu.physics.kinematics import body_velocities, fk
+
+    m = xbot_model
+    n = 4
+    stb = _states(m, n, seed=3)
+    rng = np.random.default_rng(4)
+    targets = jnp.asarray(rng.uniform(-0.2, 0.2, (n, 12)), jnp.float32)
+    meg = _run(m, "mega_interpret", stb, targets, n_steps=3)
+
+    fidx = np.asarray(m.feet_body_idx)
+    kidx = np.asarray(m.knee_body_idx)
+    for e in range(n):
+        k = fk(m, meg.qpos[e])
+        bv = body_velocities(m, meg.qpos[e], meg.qvel[e])
+        p_rel = np.asarray(k.p - meg.qpos[e, :3])
+        want = np.concatenate(
+            [
+                p_rel[fidx, 0], p_rel[fidx, 1], p_rel[fidx, 2],
+                p_rel[kidx, 0], p_rel[kidx, 1],
+                np.asarray(bv.v_origin)[fidx, 0],
+                np.asarray(bv.v_origin)[fidx, 1],
+            ]
+        )
+        np.testing.assert_allclose(
+            np.asarray(meg.fk_out[e]), want, atol=2e-4,
+            err_msg=f"env {e}: kernel OUT_FK rows != XLA fk/body_velocities",
+        )
