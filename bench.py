@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import time
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hgt_jax_cache")
@@ -135,7 +136,11 @@ def main():
                 key, k = jax.random.split(key)
                 t0 = time.time()
                 ts, state, obs, priv, _, metrics = train_iter(ts, state, obs, priv, k)
-                jax.block_until_ready(metrics["value_loss"])
+                # hard host fetch — on the axon tunnel, block_until_ready
+                # alone can return before the computation actually
+                # completes (observed: a 243 ms program "timed" at 1.2 ms),
+                # so pull the scalar to the host to close the pipeline
+                float(np.asarray(metrics["value_loss"]))
                 times.append(time.time() - t0)
             dt = sorted(times)[len(times) // 2]  # median iteration
         finally:

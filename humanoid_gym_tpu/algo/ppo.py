@@ -215,33 +215,24 @@ def make_train_iter(
     def minibatch_update(ts, mb) -> Tuple[TrainState, Dict]:
         obs, priv, act, old_logp, old_v, adv, ret, old_mu, old_sigma = mb
 
-        # KL-adaptive LR, computed before the step (ppo.py:136-148)
-        lr = ts.lr
-        if cfg.schedule == "adaptive":
-            mean, std = actor_apply(ts.params, obs)
-            kl = jnp.sum(
-                jnp.log(std / old_sigma + 1e-5)
-                + (jnp.square(old_sigma) + jnp.square(mean - old_mu))
-                / (2.0 * jnp.square(std))
-                - 0.5,
-                axis=-1,
-            )
-            kl_mean = jnp.mean(kl)
-            lr = jnp.where(
-                kl_mean > cfg.desired_kl * 2.0,
-                jnp.maximum(1e-5, lr / 1.5),
-                jnp.where(
-                    (kl_mean < cfg.desired_kl / 2.0) & (kl_mean > 0.0),
-                    jnp.minimum(1e-2, lr * 1.5),
-                    lr,
-                ),
-            )
-        else:
-            kl_mean = jnp.asarray(0.0)
-
         def loss_fn(params):
             mean, std = actor_apply(params, obs)
             value = critic_apply(params, priv)
+            # KL for the adaptive LR (ppo.py:136-148): the reference
+            # computes it at the SAME params the gradient step uses, so it
+            # rides the loss forward as an aux output — no separate actor
+            # pass per minibatch
+            if cfg.schedule == "adaptive":
+                kl = jnp.sum(
+                    jnp.log(std / old_sigma + 1e-5)
+                    + (jnp.square(old_sigma) + jnp.square(mean - old_mu))
+                    / (2.0 * jnp.square(std))
+                    - 0.5,
+                    axis=-1,
+                )
+                kl_mean = jnp.mean(kl)
+            else:
+                kl_mean = jnp.asarray(0.0)
             logp = normal_log_prob(mean, std, act)
             # overflow guard only — the clipped-surrogate min/max bounds the
             # objective long before |delta|=20 matters
@@ -276,9 +267,27 @@ def make_train_iter(
                 total = total + cfg.estimator_coef * est_loss
             else:
                 est_loss = jnp.asarray(0.0)
-            return total, (surrogate_loss, value_loss, jnp.mean(entropy), est_loss)
+            return total, (
+                surrogate_loss, value_loss, jnp.mean(entropy), est_loss,
+                kl_mean,
+            )
 
-        grads, (surr_l, val_l, ent, est_l) = jax.grad(loss_fn, has_aux=True)(ts.params)
+        grads, (surr_l, val_l, ent, est_l, kl_mean) = jax.grad(
+            loss_fn, has_aux=True
+        )(ts.params)
+        # KL-adaptive LR (x/1.5 in [1e-5, 1e-2]), applied to THIS
+        # minibatch's Adam step — same ordering as the reference
+        lr = ts.lr
+        if cfg.schedule == "adaptive":
+            lr = jnp.where(
+                kl_mean > cfg.desired_kl * 2.0,
+                jnp.maximum(1e-5, lr / 1.5),
+                jnp.where(
+                    (kl_mean < cfg.desired_kl / 2.0) & (kl_mean > 0.0),
+                    jnp.minimum(1e-2, lr * 1.5),
+                    lr,
+                ),
+            )
         # global grad-norm clip (ppo.py:173); a non-finite norm zeroes the
         # update (drop the poisoned minibatch instead of NaN-ing the params)
         gnorm = optax.global_norm(grads)

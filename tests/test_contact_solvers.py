@@ -351,8 +351,13 @@ def test_warm_start_accuracy(xbot_model):
 
     s_cold = s.replace(contact_lam=jnp.zeros_like(s.contact_lam))
     err = lambda out: float(jnp.abs(out.qvel - gold.qvel).max())
+    warm4 = err(mk(4)(s, tgt))
     warm8 = err(mk(8)(s, tgt))
     cold8 = err(mk(8)(s_cold, tgt))
     cold16 = err(mk(16)(s_cold, tgt))
     assert warm8 < cold8, (warm8, cold8)
     assert warm8 < cold16, (warm8, cold16)
+    # basis for the round-3 production default solver_iterations=4: the
+    # warm start converges persistent stance contacts within the first few
+    # iterations, so warm@4 still beats the round-2 shipped cold@16
+    assert warm4 < cold16, (warm4, cold16)
