@@ -285,6 +285,11 @@ class PhysxLikeSolverCfg:
     # worth >2x in iterations: measured single-step max|qvel| error vs a
     # 300-iteration solve is 0.12 warm@8 vs 0.20 for the round-2 cold@16
     # (tests/test_contact_solvers.py::test_warm_start_accuracy).
+    # DO NOT lower to 4 for throughput (~1.0M vs 0.9M env steps/s): warm@4
+    # also beats cold@16 on single-step error (0.131 vs 0.146), but round-3
+    # retrains showed sim2sim transfer COLLAPSES — terrain_robust went 0/16
+    # on MuJoCo from ckpt 400 on (16/16 everywhere at 8): policies learn to
+    # exploit the under-converged contact (docs/ROUND3.md negative result).
     solver_iterations: int = 8
     substep_unroll: int = 1  # lax.scan unroll of the decimation loop
     contact_offset: float = 0.01  # [m] candidate activation margin

@@ -200,6 +200,12 @@ def main():
         ckpts = list_ckpts()
         if args.ckpt is not None:
             ckpts = [(n, f) for n, f in ckpts if n == args.ckpt]
+            if not ckpts:
+                raise SystemExit(f"no model_{args.ckpt}.ckpt in {args.run_dir}")
+            # an explicitly requested checkpoint re-scores even if a prior
+            # (possibly lower-N) row exists — silent skips here cost a
+            # debugging session
+            seen.discard(args.ckpt)
         else:
             ckpts = ckpts[:: args.stride] + ([ckpts[-1]] if ckpts else [])
         with open(out_path, "a") as fh:
