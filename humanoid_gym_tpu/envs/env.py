@@ -129,6 +129,7 @@ class HumanoidEnv:
 
             terrain_height_fn = flat_height_fn
         self.terrain_height_fn = terrain_height_fn
+        self.terrain_map = terrain_map
         self.terrain_origins = (
             jnp.asarray(terrain_origins, jnp.float32)
             if terrain_origins is not None

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import os
+import math
 
 import numpy as np
 import jax
@@ -1425,17 +1426,12 @@ def make_mega_step_batched(
         # RAW height grid in meters (bilinear contact surface; the 3-tap-min
         # floor lookup remains the env's OBSERVATION contract)
         hf = np.asarray(terrain_map.height_field, np.float32)
-        Pg = jnp.asarray(hf * float(terrain_map.vertical_scale))
         t_border = float(terrain_map.border_size)
         t_inv_h = 1.0 / float(terrain_map.horizontal_scale)
         t_nrow, t_ncol = hf.shape
         terr = (t_border, t_inv_h, float(t_nrow), float(t_ncol))
         cbody = jnp.asarray(model.contact_point_body)
         coff = model.contact_point_offset
-        from ..terrain.terrain import make_grad_fn as _make_grad_fn
-
-        grad_fn_xla = _make_grad_fn(terrain_map)
-
         from .kinematics import f32_matmul, fk
 
         @f32_matmul
@@ -1443,6 +1439,34 @@ def make_mega_step_batched(
             k = fk(model, qp)
             pos = k.p[cbody] + jnp.einsum("kij,kj->ki", k.R[cbody], coff)
             return pos[:, :2]
+
+        # Per-env node WINDOW for all terrain taps. Pointwise gathers from
+        # the full grid measured ~40 ms/iter EACH at 4096 envs (11 of them:
+        # 9 patch taps + 2 gradient tap rows — docs/ROUND3.md), and a
+        # vmapped (W, W) dynamic-slice is no better (XLA lowers it to 4096
+        # strided row-chunk DMAs per step, ~5 ms). Instead the grid is
+        # pre-transposed into CONTIGUOUS (BR, BC) blocks; each env gathers
+        # its 2x2 block neighborhood (four contiguous 24 KB chunks — DMA-
+        # friendly), concatenated into a (2BR, 2BC) window, and every tap
+        # is an exact one-hot einsum (Precision.HIGHEST: a single 1.0 x h
+        # term per row, so tap values are bit-identical to direct gathers).
+        # Beyond-reach queries (exploded envs, auto-reset anyway) clamp to
+        # the window edge instead of the grid edge.
+        _REACH_M = 1.6  # max |contact point - base| in xy, plus margin
+        _RN = int(math.ceil(_REACH_M * t_inv_h)) + 2  # reach in nodes
+        BR, BC = 48, 128
+        assert BR >= 2 * _RN and BC >= 2 * _RN, (BR, BC, _RN)
+        nbr = -(-int(t_nrow) // BR) + 1
+        nbc = -(-int(t_ncol) // BC) + 1
+        _pgb = np.zeros((nbr * BR, nbc * BC), np.float32)
+        _pgb[: int(t_nrow), : int(t_ncol)] = hf * float(terrain_map.vertical_scale)
+        Pgb = jnp.asarray(
+            np.ascontiguousarray(
+                _pgb.reshape(nbr, BR, nbc, BC).transpose(0, 2, 1, 3)
+            )
+        )  # (nbr, nbc, BR, BC), each block contiguous
+        WR, WC = 2 * BR, 2 * BC
+        _hi = jax.lax.Precision.HIGHEST
 
         def terrain_patches(qpos, sbias):  # (N, nq), (N, 2) -> (N, IN2 rows)
             xy = jax.vmap(_contact_xy)(qpos)  # (N, K, 2)
@@ -1453,16 +1477,71 @@ def make_mega_step_batched(
             # 3x3 NODE window around the step-start node (2 bilinear cells)
             ox = jnp.clip(px - 1, 0, t_nrow - 3)
             oy = jnp.clip(py - 1, 0, t_ncol - 3)
+
+            # 2x2 block neighborhood from the BASE node (same time point as
+            # xy): ibr*BR <= cbx - _RN guarantees the whole reach span sits
+            # inside [ibr*BR, ibr*BR + 2*BR) since BR >= 2*_RN
+            cbx = jnp.clip(
+                (qpos[:, 0] + t_border) * t_inv_h, 0.0, t_nrow - 1.001
+            ).astype(jnp.int32)
+            cby = jnp.clip(
+                (qpos[:, 1] + t_border) * t_inv_h, 0.0, t_ncol - 1.001
+            ).astype(jnp.int32)
+            ibr = jnp.clip((cbx - _RN) // BR, 0, nbr - 2)
+            ibc = jnp.clip((cby - _RN) // BC, 0, nbc - 2)
+            bx = ibr * BR
+            by = ibc * BC
+            win = jnp.concatenate(
+                [
+                    jnp.concatenate([Pgb[ibr, ibc], Pgb[ibr, ibc + 1]], axis=-1),
+                    jnp.concatenate(
+                        [Pgb[ibr + 1, ibc], Pgb[ibr + 1, ibc + 1]], axis=-1
+                    ),
+                ],
+                axis=-2,
+            )  # (N, WR, WC)
+
+            iw = jnp.arange(WR)
+            ic = jnp.arange(WC)
+            rx = jnp.clip(ox - bx[:, None], 0, WR - 3)
+            ry = jnp.clip(oy - by[:, None], 0, WC - 3)
+            rowOH = [
+                (iw == (rx + i)[..., None]).astype(jnp.float32) for i in range(3)
+            ]
+            colOH = [
+                (ic == (ry + j)[..., None]).astype(jnp.float32) for j in range(3)
+            ]
+            tmp = [
+                jnp.einsum("nkw,nwv->nkv", rowOH[i], win, precision=_hi)
+                for i in range(3)
+            ]
             # tap-major rows ((ii*3+jj)*K + kk) so the kernel's STACKED
             # lookup slices one contiguous (K,)+LS row block per tap
             patch = jnp.concatenate(
-                [Pg[ox + i, oy + j] for i in range(3) for j in range(3)],
+                [jnp.sum(tmp[i] * colOH[j], axis=-1) for i in range(3) for j in range(3)],
                 axis=-1,
             )  # (N, 9*K)
-            # step-start slope for the sloped contact frames — the SHARED
-            # terrain.make_grad_fn (one bilinear-cell gradient definition
-            # across every solver path), plus the contact-slope DR bias
-            gx, gy = grad_fn_xla(xy[..., 0], xy[..., 1])
+
+            # step-start slope for the sloped contact frames — the SAME
+            # bilinear-cell gradient formula as terrain.make_grad_fn (one
+            # definition across every solver path; taps from the window),
+            # plus the contact-slope DR bias
+            r0 = jnp.clip(px - bx[:, None], 0, WR - 2)
+            c0 = jnp.clip(py - by[:, None], 0, WC - 2)
+            rOH0 = (iw == r0[..., None]).astype(jnp.float32)
+            rOH1 = (iw == (r0 + 1)[..., None]).astype(jnp.float32)
+            cOH0 = (ic == c0[..., None]).astype(jnp.float32)
+            cOH1 = (ic == (c0 + 1)[..., None]).astype(jnp.float32)
+            t0 = jnp.einsum("nkw,nwv->nkv", rOH0, win, precision=_hi)
+            t1 = jnp.einsum("nkw,nwv->nkv", rOH1, win, precision=_hi)
+            h00 = jnp.sum(t0 * cOH0, axis=-1)
+            h01 = jnp.sum(t0 * cOH1, axis=-1)
+            h10 = jnp.sum(t1 * cOH0, axis=-1)
+            h11 = jnp.sum(t1 * cOH1, axis=-1)
+            fx = gxf - px
+            fy = gyf - py
+            gx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) * t_inv_h
+            gy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) * t_inv_h
             gx = gx + sbias[:, 0:1]
             gy = gy + sbias[:, 1:2]
             return jnp.concatenate(
@@ -1635,4 +1714,8 @@ def make_mega_step_batched(
         out = fn(*args)
         return out, (True, True, True, True, True, True)
 
+    if terr is not None:
+        # exposed for tests: the windowed-tap path must stay bit-identical
+        # to direct grid gathers (tests/test_mega_kernel.py)
+        step.terrain_patches = terrain_patches
     return step

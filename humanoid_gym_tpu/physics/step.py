@@ -291,6 +291,8 @@ def make_physics_step(
                 contact_lam=lam, fk_out=fk14,
             )
 
+        # forwarded for tests (windowed-tap exactness)
+        step.terrain_patches = getattr(mega, "terrain_patches", None)
         return step
 
     # Heightfield CONTACT geometry: the bilinear surface + sloped frames

@@ -279,3 +279,75 @@ def test_mega_fk_out_matches_xla_fk(xbot_model):
             np.asarray(meg.fk_out[e]), want, atol=2e-4,
             err_msg=f"env {e}: kernel OUT_FK rows != XLA fk/body_velocities",
         )
+
+
+def test_terrain_patches_windowed_taps_exact():
+    """The windowed-tap terrain_patches (one per-env dynamic-slice + exact
+    one-hot einsums — round 3, replaces 11 pointwise grid gathers measured
+    at ~40 ms/iter each) must be BIT-IDENTICAL to direct grid taps for
+    every in-reach query."""
+    from humanoid_gym_tpu.config.xbotl import XBotLCfg
+    from humanoid_gym_tpu.envs import make_env
+
+    cfg = XBotLCfg()
+    cfg.env.num_envs = 8
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.terrain.curriculum = False
+    cfg.terrain.num_rows = 2
+    cfg.terrain.num_cols = 2
+    cfg.terrain.border_size = 5.0
+    cfg.sim.solver.solver_type = "mega_interpret"
+    env = make_env(cfg)
+    tp = env._phys_step.terrain_patches
+    assert tp is not None
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 8)
+    st = jax.jit(env.init_state)(keys, jnp.arange(8))
+    qpos = st.phys.qpos
+    sbias = jnp.zeros((8, 2))
+    got = np.asarray(jax.jit(tp)(qpos, sbias))
+
+    # reference: direct gathers with the documented row layout
+    from humanoid_gym_tpu.terrain.terrain import make_grad_fn
+
+    tmap = env.terrain_map
+    K = 16
+    from humanoid_gym_tpu.physics.kinematics import fk
+
+    hf = np.asarray(tmap.height_field, np.float32) * tmap.vertical_scale
+    border, inv_h = tmap.border_size, 1.0 / tmap.horizontal_scale
+    nrow, ncol = hf.shape
+    m = env.model
+    cbody = np.asarray(m.contact_point_body)
+    coff = np.asarray(m.contact_point_offset)
+    grad_fn = make_grad_fn(tmap)
+    for e in range(8):
+        k = fk(m, qpos[e])
+        pos = np.asarray(k.p)[cbody] + np.einsum(
+            "kij,kj->ki", np.asarray(k.R)[cbody], coff
+        )
+        gxf = np.clip((pos[:, 0] + border) * inv_h, 0.0, nrow - 1.001)
+        gyf = np.clip((pos[:, 1] + border) * inv_h, 0.0, ncol - 1.001)
+        px, py = gxf.astype(np.int32), gyf.astype(np.int32)
+        ox = np.clip(px - 1, 0, nrow - 3)
+        oy = np.clip(py - 1, 0, ncol - 3)
+        want_patch = np.concatenate(
+            [hf[ox + i, oy + j] for i in range(3) for j in range(3)]
+        )
+        np.testing.assert_array_equal(got[e, : 9 * K], want_patch)
+        np.testing.assert_array_equal(got[e, 9 * K : 9 * K + K], ox.astype(np.float32))
+        np.testing.assert_array_equal(
+            got[e, 9 * K + K : 9 * K + 2 * K], oy.astype(np.float32)
+        )
+        # gradients: same taps and formula, but XLA contracts the in-jit
+        # multiply-adds into FMAs (the old pointwise-gather path was in-jit
+        # too) — compare to the eager reference at 1 ulp-scale tolerance
+        gx, gy = grad_fn(pos[:, 0], pos[:, 1])
+        np.testing.assert_allclose(
+            got[e, 9 * K + 2 * K : 9 * K + 3 * K], np.asarray(gx),
+            rtol=1e-6, atol=5e-6,
+        )
+        np.testing.assert_allclose(
+            got[e, 9 * K + 3 * K : 9 * K + 4 * K], np.asarray(gy),
+            rtol=1e-6, atol=5e-6,
+        )
