@@ -1443,29 +1443,50 @@ def make_mega_step_batched(
         # Per-env node WINDOW for all terrain taps. Pointwise gathers from
         # the full grid measured ~40 ms/iter EACH at 4096 envs (11 of them:
         # 9 patch taps + 2 gradient tap rows — docs/ROUND3.md), and a
-        # vmapped (W, W) dynamic-slice is no better (XLA lowers it to 4096
-        # strided row-chunk DMAs per step, ~5 ms). Instead the grid is
-        # pre-transposed into CONTIGUOUS (BR, BC) blocks; each env gathers
-        # its 2x2 block neighborhood (four contiguous 24 KB chunks — DMA-
-        # friendly), concatenated into a (2BR, 2BC) window, and every tap
-        # is an exact one-hot einsum (Precision.HIGHEST: a single 1.0 x h
-        # term per row, so tap values are bit-identical to direct gathers).
+        # vmapped dynamic-slice window is no better (XLA lowers it to 4096
+        # strided row-chunk DMA sets per step, ~5 ms). Instead the grid is
+        # pre-blocked into CONTIGUOUS (BR, BC) tiles at 4 row offsets
+        # (stride 12) x 2 column offsets (stride 64): any +-reach span fits
+        # entirely inside ONE tile of the right offset copy, so each env
+        # gathers a single contiguous 24 KB chunk, and every tap is an
+        # exact one-hot einsum (Precision.HIGHEST: a single 1.0 x h term
+        # per row, so tap values are bit-identical to direct gathers).
         # Beyond-reach queries (exploded envs, auto-reset anyway) clamp to
         # the window edge instead of the grid edge.
         _REACH_M = 1.6  # max |contact point - base| in xy, plus margin
         _RN = int(math.ceil(_REACH_M * t_inv_h)) + 2  # reach in nodes
         BR, BC = 48, 128
-        assert BR >= 2 * _RN and BC >= 2 * _RN, (BR, BC, _RN)
-        nbr = -(-int(t_nrow) // BR) + 1
-        nbc = -(-int(t_ncol) // BC) + 1
-        _pgb = np.zeros((nbr * BR, nbc * BC), np.float32)
-        _pgb[: int(t_nrow), : int(t_ncol)] = hf * float(terrain_map.vertical_scale)
+        _SR, _SC = 12, 64  # offset strides; need BR-2*_RN >= _SR-1 etc.
+        assert BR - 2 * _RN >= _SR - 1 and BC - 2 * _RN >= _SC - 1, (_RN,)
+        nbr2 = int(t_nrow) // BR + 2
+        nbc2 = int(t_ncol) // BC + 2
+        _pad = np.zeros(
+            (int(t_nrow) + 3 * BR, int(t_ncol) + 3 * BC), np.float32
+        )
+        _pad[: int(t_nrow), : int(t_ncol)] = (
+            hf * float(terrain_map.vertical_scale)
+        )
         Pgb = jnp.asarray(
             np.ascontiguousarray(
-                _pgb.reshape(nbr, BR, nbc, BC).transpose(0, 2, 1, 3)
+                np.stack(
+                    [
+                        np.stack(
+                            [
+                                _pad[
+                                    _SR * dr : _SR * dr + nbr2 * BR,
+                                    _SC * dc : _SC * dc + nbc2 * BC,
+                                ]
+                                .reshape(nbr2, BR, nbc2, BC)
+                                .transpose(0, 2, 1, 3)
+                                for dc in range(BC // _SC)
+                            ]
+                        )
+                        for dr in range(BR // _SR)
+                    ]
+                )
             )
-        )  # (nbr, nbc, BR, BC), each block contiguous
-        WR, WC = 2 * BR, 2 * BC
+        )  # (4, 2, nbr2, nbc2, BR, BC), each (BR, BC) tile contiguous
+        WR, WC = BR, BC
         _hi = jax.lax.Precision.HIGHEST
 
         def terrain_patches(qpos, sbias):  # (N, nq), (N, 2) -> (N, IN2 rows)
@@ -1478,28 +1499,26 @@ def make_mega_step_batched(
             ox = jnp.clip(px - 1, 0, t_nrow - 3)
             oy = jnp.clip(py - 1, 0, t_ncol - 3)
 
-            # 2x2 block neighborhood from the BASE node (same time point as
-            # xy): ibr*BR <= cbx - _RN guarantees the whole reach span sits
-            # inside [ibr*BR, ibr*BR + 2*BR) since BR >= 2*_RN
+            # single-tile window from the BASE node (same time point as
+            # xy): window start s = stride-floor(max(base - reach, 0)) is
+            # at most stride-1 below the span start, and the span is at
+            # most 2*reach wide, so it fits the (BR, BC) tile of offset
+            # copy (s % BR) / stride
             cbx = jnp.clip(
                 (qpos[:, 0] + t_border) * t_inv_h, 0.0, t_nrow - 1.001
             ).astype(jnp.int32)
             cby = jnp.clip(
                 (qpos[:, 1] + t_border) * t_inv_h, 0.0, t_ncol - 1.001
             ).astype(jnp.int32)
-            ibr = jnp.clip((cbx - _RN) // BR, 0, nbr - 2)
-            ibc = jnp.clip((cby - _RN) // BC, 0, nbc - 2)
-            bx = ibr * BR
-            by = ibc * BC
-            win = jnp.concatenate(
-                [
-                    jnp.concatenate([Pgb[ibr, ibc], Pgb[ibr, ibc + 1]], axis=-1),
-                    jnp.concatenate(
-                        [Pgb[ibr + 1, ibc], Pgb[ibr + 1, ibc + 1]], axis=-1
-                    ),
-                ],
-                axis=-2,
-            )  # (N, WR, WC)
+            sr = (jnp.maximum(cbx - _RN, 0) // _SR) * _SR
+            sc = (jnp.maximum(cby - _RN, 0) // _SC) * _SC
+            dr = (sr % BR) // _SR
+            dc = (sc % BC) // _SC
+            kr = sr // BR
+            kc = sc // BC
+            win = Pgb[dr, dc, kr, kc]  # (N, BR, BC) — one contiguous chunk
+            bx = sr
+            by = sc
 
             iw = jnp.arange(WR)
             ic = jnp.arange(WC)
