@@ -159,6 +159,16 @@ class HumanoidEnv:
         # XBot-L/S, so termination probes need only the base quat.
         self._kernel_fk = cfg.sim.solver.solver_type.startswith("mega")
         self._probe_on_base = all(int(b) == 0 for b in m.probe_point_body)
+        # windowed 3-tap-min for the per-step probe height query: same
+        # values as terrain_height_fn, one contiguous tile gather instead
+        # of three pointwise grid gathers (~20 ms/iter each at 4096 envs)
+        self._tile_height = None
+        if terrain_map is not None:
+            from ..terrain.terrain import flat_height_fn as _flat
+            from ..terrain.terrain import make_tile_height_fn
+
+            if terrain_height_fn is not _flat:
+                self._tile_height = make_tile_height_fn(terrain_map)
 
         # reward pipeline: nonzero scales, premultiplied by dt
         # (reference legged_robot.py:518-537)
@@ -290,7 +300,15 @@ class HumanoidEnv:
             pos = pb + jnp.einsum(
                 "kij,kj->ki", Rb, self.model.probe_point_offset
             )
-        gap = pos[:, 2] - self.terrain_height_fn(pos[:, 0], pos[:, 1])
+        if self._tile_height is not None:
+            # same 3-tap-min values, one tile gather (probes are always
+            # within the tile reach of the base)
+            h = self._tile_height(
+                phys.qpos[0], phys.qpos[1], pos[:, 0], pos[:, 1]
+            )
+        else:
+            h = self.terrain_height_fn(pos[:, 0], pos[:, 1])
+        gap = pos[:, 2] - h
         pen = gap < 0.0
         term_flags = jnp.stack(
             [jnp.any(pen & (bidx == b)) for b in self._term_bodies]

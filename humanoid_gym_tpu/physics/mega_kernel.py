@@ -1453,39 +1453,9 @@ def make_mega_step_batched(
         # per row, so tap values are bit-identical to direct gathers).
         # Beyond-reach queries (exploded envs, auto-reset anyway) clamp to
         # the window edge instead of the grid edge.
-        _REACH_M = 1.6  # max |contact point - base| in xy, plus margin
-        _RN = int(math.ceil(_REACH_M * t_inv_h)) + 2  # reach in nodes
-        BR, BC = 48, 128
-        _SR, _SC = 12, 64  # offset strides; need BR-2*_RN >= _SR-1 etc.
-        assert BR - 2 * _RN >= _SR - 1 and BC - 2 * _RN >= _SC - 1, (_RN,)
-        nbr2 = int(t_nrow) // BR + 2
-        nbc2 = int(t_ncol) // BC + 2
-        _pad = np.zeros(
-            (int(t_nrow) + 3 * BR, int(t_ncol) + 3 * BC), np.float32
-        )
-        _pad[: int(t_nrow), : int(t_ncol)] = (
-            hf * float(terrain_map.vertical_scale)
-        )
-        Pgb = jnp.asarray(
-            np.ascontiguousarray(
-                np.stack(
-                    [
-                        np.stack(
-                            [
-                                _pad[
-                                    _SR * dr : _SR * dr + nbr2 * BR,
-                                    _SC * dc : _SC * dc + nbc2 * BC,
-                                ]
-                                .reshape(nbr2, BR, nbc2, BC)
-                                .transpose(0, 2, 1, 3)
-                                for dc in range(BC // _SC)
-                            ]
-                        )
-                        for dr in range(BR // _SR)
-                    ]
-                )
-            )
-        )  # (4, 2, nbr2, nbc2, BR, BC), each (BR, BC) tile contiguous
+        from ..terrain.terrain import make_tile_gather
+
+        _win_fn, (_RN, BR, BC) = make_tile_gather(terrain_map, reach_m=1.6)
         WR, WC = BR, BC
         _hi = jax.lax.Precision.HIGHEST
 
@@ -1510,15 +1480,7 @@ def make_mega_step_batched(
             cby = jnp.clip(
                 (qpos[:, 1] + t_border) * t_inv_h, 0.0, t_ncol - 1.001
             ).astype(jnp.int32)
-            sr = (jnp.maximum(cbx - _RN, 0) // _SR) * _SR
-            sc = (jnp.maximum(cby - _RN, 0) // _SC) * _SC
-            dr = (sr % BR) // _SR
-            dc = (sc % BC) // _SC
-            kr = sr // BR
-            kc = sc // BC
-            win = Pgb[dr, dc, kr, kc]  # (N, BR, BC) — one contiguous chunk
-            bx = sr
-            by = sc
+            win, bx, by = _win_fn(cbx, cby)  # (N, BR, BC), one chunk/env
 
             iw = jnp.arange(WR)
             ic = jnp.arange(WC)

@@ -365,3 +365,118 @@ def flat_height_fn(x, y):
     import jax.numpy as jnp
 
     return jnp.zeros_like(jnp.asarray(x))
+
+
+# ---- single-tile window machinery (round 3) --------------------------------
+# Pointwise gathers from the full height grid cost ~10 ns/element on TPU
+# (~40 ms/iter per tap set at 4096 envs — docs/ROUND3.md). The grid is
+# pre-blocked into contiguous (BR, BC) tiles at 4 row offsets (stride 12)
+# x 2 column offsets (stride 64): any +-reach span around a center fits
+# entirely inside ONE tile of the right offset copy, so a batch of envs
+# gathers one contiguous 24 KB chunk each, and individual node taps become
+# exact one-hot einsums from the tile.
+
+_TILE_CACHE: dict = {}
+
+
+def make_tile_gather(tmap: TerrainMap, reach_m: float = 1.6):
+    """Returns (win_fn, meta) where win_fn(cbx, cby) -> (win, bx, by):
+    cbx/cby are clipped integer node coordinates of the window center
+    (scalar or batched); `win` is the pre-scaled (meters) (BR, BC) tile
+    guaranteed to contain every node in [c - RN, c + RN]; bx/by are its
+    global node origin. meta = (RN, BR, BC). Cached per TerrainMap."""
+    import jax.numpy as jnp
+
+    key = (id(tmap), round(reach_m, 3))
+    hit = _TILE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    BR, BC = 48, 128
+    SR, SC = 12, 64
+    inv_h = 1.0 / tmap.horizontal_scale
+    RN = int(np.ceil(reach_m * inv_h)) + 2
+    assert BR - 2 * RN >= SR - 1 and BC - 2 * RN >= SC - 1, (RN, BR, BC)
+    nrow, ncol = tmap.height_field.shape
+    nbr2 = nrow // BR + 2
+    nbc2 = ncol // BC + 2
+    pad = np.zeros((nrow + 3 * BR, ncol + 3 * BC), np.float32)
+    pad[:nrow, :ncol] = (
+        np.asarray(tmap.height_field, np.float32) * tmap.vertical_scale
+    )
+    Pgb = jnp.asarray(
+        np.ascontiguousarray(
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            pad[
+                                SR * dr : SR * dr + nbr2 * BR,
+                                SC * dc : SC * dc + nbc2 * BC,
+                            ]
+                            .reshape(nbr2, BR, nbc2, BC)
+                            .transpose(0, 2, 1, 3)
+                            for dc in range(BC // SC)
+                        ]
+                    )
+                    for dr in range(BR // SR)
+                ]
+            )
+        )
+    )  # (4, 2, nbr2, nbc2, BR, BC), each (BR, BC) tile contiguous
+
+    def win_fn(cbx, cby):
+        sr = (jnp.maximum(cbx - RN, 0) // SR) * SR
+        sc = (jnp.maximum(cby - RN, 0) // SC) * SC
+        dr = (sr % BR) // SR
+        dc = (sc % BC) // SC
+        win = Pgb[dr, dc, sr // BR, sc // BC]
+        return win, sr, sc
+
+    out = (win_fn, (RN, BR, BC))
+    _TILE_CACHE[key] = out
+    return out
+
+
+def make_tile_height_fn(tmap: TerrainMap, reach_m: float = 1.6):
+    """Windowed variant of `make_height_fn` (the frozen 3-tap-min
+    OBSERVATION contract): h_fn(cx, cy, xs, ys) returns the same heights
+    for every query within reach_m of the center (cx, cy), but all taps
+    come from one contiguous tile gather instead of three pointwise grid
+    gathers. min commutes with the positive vertical scale, so values
+    match make_height_fn bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    win_fn, (RN, BR, BC) = make_tile_gather(tmap, reach_m)
+    inv_h = 1.0 / tmap.horizontal_scale
+    border = tmap.border_size
+    nrow, ncol = tmap.height_field.shape
+    hi = jax.lax.Precision.HIGHEST
+    iw = jnp.arange(BR)
+    ic = jnp.arange(BC)
+
+    def height_fn(cx, cy, xs, ys):
+        cbx = jnp.clip((cx + border) * inv_h, 0.0, nrow - 1.001).astype(
+            jnp.int32
+        )
+        cby = jnp.clip((cy + border) * inv_h, 0.0, ncol - 1.001).astype(
+            jnp.int32
+        )
+        win, bx, by = win_fn(cbx, cby)
+        px = jnp.clip(((xs + border) * inv_h).astype(jnp.int32), 0, nrow - 2)
+        py = jnp.clip(((ys + border) * inv_h).astype(jnp.int32), 0, ncol - 2)
+        rx = jnp.clip(px - bx, 0, BR - 2)
+        ry = jnp.clip(py - by, 0, BC - 2)
+        r0 = (iw == rx[..., None]).astype(jnp.float32)
+        r1 = (iw == (rx + 1)[..., None]).astype(jnp.float32)
+        c0 = (ic == ry[..., None]).astype(jnp.float32)
+        c1 = (ic == (ry + 1)[..., None]).astype(jnp.float32)
+        t0 = jnp.einsum("...kw,...wv->...kv", r0, win, precision=hi)
+        t1 = jnp.einsum("...kw,...wv->...kv", r1, win, precision=hi)
+        h1 = jnp.sum(t0 * c0, axis=-1)
+        h2 = jnp.sum(t1 * c0, axis=-1)
+        h3 = jnp.sum(t0 * c1, axis=-1)
+        return jnp.minimum(jnp.minimum(h1, h2), h3)
+
+    return height_fn

@@ -233,3 +233,39 @@ def test_survival_curriculum_promotes_standing_survivor():
         st, tr = step(st, jnp.zeros((2, 12)))
     lvl = np.asarray(st.terrain_level)
     assert (lvl > lvl0).any(), (lvl0, lvl)
+
+
+def test_tile_height_fn_matches_height_fn():
+    """The windowed 3-tap-min (one tile gather, round 3) must reproduce
+    make_height_fn bit-for-bit for every query within reach of the
+    center (the per-step probe query pattern)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from humanoid_gym_tpu.config.base import TerrainCfg
+    from humanoid_gym_tpu.terrain.terrain import (
+        TerrainMap, make_height_fn, make_tile_height_fn,
+    )
+
+    cfg = TerrainCfg()
+    cfg.num_rows, cfg.num_cols = 3, 3
+    cfg.border_size = 5.0
+    tmap = TerrainMap.build(cfg, np.random.default_rng(3), style="humanoid")
+    ref = make_height_fn(tmap)
+    tile = make_tile_height_fn(tmap)
+
+    rng = np.random.default_rng(7)
+    nrow, ncol = tmap.height_field.shape
+    ext_x = nrow * tmap.horizontal_scale - tmap.border_size
+    ext_y = ncol * tmap.horizontal_scale - tmap.border_size
+    # centers across the grid INCLUDING beyond-border clips
+    cx = jnp.asarray(rng.uniform(-tmap.border_size, ext_x, 64), jnp.float32)
+    cy = jnp.asarray(rng.uniform(-tmap.border_size, ext_y, 64), jnp.float32)
+    # queries within 1.2 m of each center (probe/feet reach)
+    qx = cx[:, None] + jnp.asarray(rng.uniform(-1.2, 1.2, (64, 8)), jnp.float32)
+    qy = cy[:, None] + jnp.asarray(rng.uniform(-1.2, 1.2, (64, 8)), jnp.float32)
+
+    want = jax.vmap(lambda a, b: ref(a, b))(qx, qy)
+    got = jax.vmap(lambda c, d, a, b: tile(c, d, a, b))(cx, cy, qx, qy)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
