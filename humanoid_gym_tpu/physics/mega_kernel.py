@@ -1681,7 +1681,7 @@ def make_mega_step_batched(
         ambient = mesh if mesh is not None else get_solver_mesh()
         fn = batched
         if ambient is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             spec = P(ambient.axis_names[0])
@@ -1690,7 +1690,7 @@ def make_mega_step_batched(
                 mesh=ambient,
                 in_specs=(spec,) * 12,
                 out_specs=(spec,) * 6,
-                check_rep=False,
+                check_vma=False,
             )
         out = fn(*args)
         return out, (True, True, True, True, True, True)

@@ -730,7 +730,7 @@ def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
         return fused_solve_pallas(*args, iterations=iterations, interpret=interpret)
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axis = mesh.axis_names[0]
@@ -740,7 +740,7 @@ def make_fused_batched(iterations: int, interpret: bool = False, mesh=None):
             mesh=mesh,
             in_specs=(spec,) * 10,
             out_specs=(spec, spec),
-            check_rep=False,
+            check_vma=False,
         )
 
     @solve.def_vmap
