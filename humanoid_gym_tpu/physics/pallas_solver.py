@@ -508,8 +508,11 @@ def _fused_core_opt(
     # (NVP, 1, ...) result stays sublane-replicated and broadcasts straight
     # into the next product with no relayout. (ROWS,)+ls -> ls reductions
     # over axis 0 are fine (proven in the production kernel).
-    zrow = jnp.zeros((ROWS,) + ls, f32)
-    Bv = jnp.stack(rows + [zrow] * (NVP - NV))  # (NVP, ROWS) + ls
+    # NV rows only — the NVP padding rows are exact zeros and every use of
+    # Bv reduces over this axis, so carrying them is 25% pure waste in the
+    # APGD matvec and the step-bound passes (adding exact zeros never
+    # changes the f32 sums)
+    Bv = jnp.stack(rows)  # (NV, ROWS) + ls
     absG_rowsum = None  # (1,) + ls
     for v in range(NV):
         Gv = jnp.sum(Bv * rows[v][None], axis=1, keepdims=True)
