@@ -444,9 +444,6 @@ def _fused_core_opt(
     """
     f32 = Mt.dtype
     ls = tuple(Mt.shape[2:])  # (128,) or (S, 128)
-    vrow = jax.lax.broadcasted_iota(jnp.int32, (NVP,) + ls, 0)
-    above = [jnp.where(vrow < k, 1.0, 0.0) for k in range(NV)]
-    onehot = [jnp.where(vrow == k, 1.0, 0.0) for k in range(NV)]
 
     # ---- in-place right-looking Cholesky in the scratch ref ----
     L_ref[...] = Mt
@@ -462,27 +459,39 @@ def _fused_core_opt(
             )
     Lv = L_ref[...]  # (NVP, NVP) + ls; lower triangle + diag valid
     Ldiag = [Lv[k, k] for k in range(NV)]  # ls each
+    Lcol = [[Lv[i, k] for k in range(NV)] for i in range(NV)]  # ls each
 
-    def solve_lower_vec(b):  # L x = b, b (NVP,) + ls value
-        x = b
+    # Triangular solves in scalar-SSA form: rows are NV separate ls-shaped
+    # values and step k updates only rows below (above) the pivot — the
+    # masked whole-vector rewrites this replaces touched all NVP rows 3x
+    # per step (~4x the VPU issue slots; round-4 vreg census). Same
+    # per-element arithmetic and order, so values are unchanged.
+    def solve_lower_rows(rows_in):  # L x = b, list of NV ls values
+        x = list(rows_in)
         for k in range(NV):
             xk = x[k] / Ldiag[k]
-            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None]
-            # x[i] -= L[i, k] xk for i > k; col k above diag is residue, so
-            # mask to strictly-below rows
-            x = x - (1.0 - above[k] - onehot[k]) * (Lv[:, k] * xk[None])
+            x[k] = xk
+            for i in range(k + 1, NV):
+                x[i] = x[i] - Lcol[i][k] * xk
         return x
 
-    def solve_upper(b):  # L^T x = b
-        x = b
+    def solve_upper_rows(rows_in):  # L^T x = b
+        x = list(rows_in)
         for k in reversed(range(NV)):
             xk = x[k] / Ldiag[k]
-            x = x * (1.0 - onehot[k]) + onehot[k] * xk[None]
-            x = x - above[k] * (Lv[k] * xk[None])
+            x[k] = xk
+            for i in range(k):
+                x[i] = x[i] - Lcol[k][i] * xk
         return x
 
     # ---- v_free = qvel + Mtilde^-1 rhs ----
-    v_free = qvel + solve_upper(solve_lower_vec(rhs))
+    vf_rows = solve_upper_rows(solve_lower_rows([rhs[k] for k in range(NV)]))
+    # padded rows pass through both solves untouched (L's padding columns
+    # are zero), exactly as the masked form left them
+    v_free = jnp.stack(
+        [qvel[k] + vf_rows[k] for k in range(NV)]
+        + [qvel[k] + rhs[k] for k in range(NV, NVP)]
+    )
 
     # ---- B = L^-1 J^T (sign-folded) as NV row-block values ----
     rows = [Jt[k] for k in range(NV)]  # (ROWS,) + ls each
@@ -490,7 +499,7 @@ def _fused_core_opt(
         xk = rows[k] / Ldiag[k][None]
         rows[k] = xk
         for i in range(k + 1, NV):
-            rows[i] = rows[i] - Lv[i, k][None] * xk
+            rows[i] = rows[i] - Lcol[i][k][None] * xk
     rows = [rk * sign for rk in rows]
 
     # u0 = J v_free (sign-folded); padded J columns (v >= NV) are zero
@@ -501,23 +510,27 @@ def _fused_core_opt(
     r = u0 - target
 
     # ---- step bound: ||G||_inf >= lambda_max(G) = lambda_max(B^T B) ----
-    # Mosaic layout rule observed on this toolchain: reducing the SUBLANE
-    # axis of a rank-3 value and materializing the outer dim as the new
-    # sublane dim ("vector<24x128>" relayout from a replicated layout) does
-    # not lower. Keep every such reduction in keepdims form — the
-    # (NVP, 1, ...) result stays sublane-replicated and broadcasts straight
-    # into the next product with no relayout. (ROWS,)+ls -> ls reductions
-    # over axis 0 are fine (proven in the production kernel).
-    # NV rows only — the NVP padding rows are exact zeros and every use of
-    # Bv reduces over this axis, so carrying them is 25% pure waste in the
-    # APGD matvec and the step-bound passes (adding exact zeros never
-    # changes the f32 sums)
-    Bv = jnp.stack(rows)  # (NV, ROWS) + ls
-    absG_rowsum = None  # (1,) + ls
+    # G is symmetric, so each off-diagonal |G_vw| is computed ONCE and
+    # accumulated into both row sums — the previous full-matrix pass
+    # (NV reductions over the whole (NV, ROWS) stack) was the largest
+    # single item in the substep's vreg census (round 4). Entry values are
+    # identical; only the (associativity-level) order of the row-sum
+    # accumulation changes. Mosaic layout rule: (ROWS,) + ls -> ls
+    # reductions over axis 0 lower fine (proven in the production kernel).
+    rowsums = [None] * NV  # ls each: Sigma_w |G_vw|
     for v in range(NV):
-        Gv = jnp.sum(Bv * rows[v][None], axis=1, keepdims=True)
-        s_ = jnp.sum(jnp.abs(Gv), axis=0)  # (1,) + ls
-        absG_rowsum = s_ if absG_rowsum is None else jnp.maximum(absG_rowsum, s_)
+        for w in range(v, NV):
+            gvw = jnp.abs(jnp.sum(rows[v] * rows[w], axis=0))  # ls
+            rowsums[v] = gvw if rowsums[v] is None else rowsums[v] + gvw
+            if w != v:
+                rowsums[w] = gvw if rowsums[w] is None else rowsums[w] + gvw
+    acc = rowsums[0]
+    for v in range(1, NV):
+        acc = jnp.maximum(acc, rowsums[v])
+    absG_rowsum = acc[None]  # (1,) + ls
+    # NV rows only — the NVP padding rows are exact zeros and every use of
+    # Bv reduces over this axis (adding exact zeros never changes the sums)
+    Bv = jnp.stack(rows)  # (NV, ROWS) + ls
 
     if compliance is not None:
         # CFM regularizer reg*I on live rows; diag(A)_r = sum_v B[v,r]^2
@@ -575,8 +588,8 @@ def _fused_core_opt(
 
     # ---- qvel_new = v_free + L^-T (B lam) ----
     y1_rows = [jnp.sum(rk * lam, axis=0) for rk in rows]  # ls each
-    y1_rows += [jnp.zeros(ls, f32)] * (NVP - NV)
-    dv = solve_upper(jnp.stack(y1_rows))
+    dv_rows = solve_upper_rows(y1_rows)
+    dv = jnp.stack(dv_rows + [jnp.zeros(ls, f32)] * (NVP - NV))
     return v_free + dv, lam * sign
 
 
