@@ -503,6 +503,14 @@ def _build_mega_kernel(
     assert tuple(sm.feet) == (nj // 2, nb - 1), sm.feet
     knee_depth = sm.knee[0] - 1
     assert sm.knee[1] - 1 - nj // 2 == knee_depth, sm.knee
+    # the leg-block solve (pallas_solver leg_blocks) assumes foot-L contact
+    # points occupy the first half of the point list and foot-R the second
+    assert tuple(sm.cruns) == ((nj // 2, 0, K // 2), (nb - 1, K // 2, K)), (
+        sm.cruns
+    )
+    # solver-internal DOF order [L joints 0:6, R joints 6:12, base 12:18]:
+    # M/J/qvel/rhs rows are ASSEMBLED directly at the mapped index (free at
+    # trace time) so the solve's Cholesky factor has no cross-leg fill-in
     if terrain is not None:
         terr_border, terr_inv_h, terr_nrow, terr_ncol = (
             float(terrain[0]), float(terrain[1]), float(terrain[2]), float(terrain[3])
@@ -536,9 +544,14 @@ def _build_mega_kernel(
         Mt_s[...] = jnp.where((mr == mc) & (mr >= NV), 1.0, 0.0).astype(f32)
         jv = jax.lax.broadcasted_iota(jnp.int32, (NVP, ROWS) + LS, 0)
         jr = jax.lax.broadcasted_iota(jnp.int32, (NVP, ROWS) + LS, 1)
-        # base-translation columns of every contact row + limit identity rows
-        base_tr = (jv < 3) & (jr < _NC3) & (jr - (jr // 3) * 3 == jv)
-        lim_id = (jv >= 6) & (jv < 6 + nj) & (jr == jv + (_NC3 - 6))
+        # base-translation columns of every contact row + limit identity
+        # rows, at the SOLVER-INTERNAL row indices (joints 0:nj, base
+        # translation nj:nj+3, base rotation nj+3:nj+6)
+        base_tr = (
+            (jv >= nj) & (jv < nj + 3) & (jr < _NC3)
+            & (jr - (jr // 3) * 3 == jv - nj)
+        )
+        lim_id = (jv < nj) & (jr == jv + _NC3)
         Jt_s[...] = jnp.where(base_tr | lim_id, 1.0, 0.0).astype(f32)
         tgt_s[...] = jnp.zeros((ROWS,) + LS, f32)
         sign_s[...] = jnp.ones((ROWS,) + LS, f32)
@@ -897,28 +910,30 @@ def _build_mega_kernel(
                 f, t = F
                 return _add(v_dot(w_s, t), v_dot(v_s, f))
 
-            # base 6x6 block from the whole-robot composite
+            # base 6x6 block from the whole-robot composite (solver rows
+            # nj + c — base DOFs sit LAST in the solver-internal order)
             F_base = [
                 momentum(M_tot, S_tot, Io_tot, screws[c]) for c in range(6)
             ]
             for c1 in range(6):
                 for c2 in range(c1, 6):
                     mv = _materialize(pair(screws[c1], F_base[c2]))
-                    Mt_s[c1, c2] = mv
+                    Mt_s[nj + c1, nj + c2] = mv
                     if c1 != c2:
-                        Mt_s[c2, c1] = mv
+                        Mt_s[nj + c2, nj + c1] = mv
             # joint columns: momentum through the joint's subtree composite,
             # one PAIRED evaluation per depth; entries land in each leg's
-            # quadrant via unpair
+            # quadrant via unpair. Solver rows: joint j lives at row j
+            # (L 0:depth, R depth:nj)
             for d in range(depth):
-                jl, jr = 6 + d, 6 + depth + d
+                jl, jr = d, depth + d
                 Fi = momentum(M_pr[d], S_pr[d], Io_pr[d], screw_pr[d])
                 for c in range(6):  # base couplings
                     val = pair(screws[c], Fi)
                     for leg, col in ((0, jl), (1, jr)):
                         mv = _materialize(unpair(val, leg))
-                        Mt_s[c, col] = mv
-                        Mt_s[col, c] = mv
+                        Mt_s[nj + c, col] = mv
+                        Mt_s[col, nj + c] = mv
                 for a in range(d + 1):  # ancestor joints (includes d itself)
                     val = pair(screw_pr[a], Fi)
                     if a == d:
@@ -942,8 +957,8 @@ def _build_mega_kernel(
                             Mt_s[col, col] = _materialize(unpair(val, leg))
                     else:
                         for leg, (ra, cb) in (
-                            (0, (6 + a, jl)),
-                            (1, (6 + depth + a, jr)),
+                            (0, (a, jl)),
+                            (1, (depth + a, jr)),
                         ):
                             mv = _materialize(unpair(val, leg))
                             Mt_s[ra, cb] = mv
@@ -1056,19 +1071,19 @@ def _build_mega_kernel(
             if terrain:
                 # base translation columns: the direction components
                 for c in range(3):
-                    Jt_s[c, 0:_NC3] = inter3(t1_d[c], t2_d[c], n_d[c])
+                    Jt_s[nj + c, 0:_NC3] = inter3(t1_d[c], t2_d[c], n_d[c])
                 # base rotation columns: (X × d)[c] per direction
                 xt1 = cross_pt(Xc, t1_d)
                 xt2 = cross_pt(Xc, t2_d)
                 xn = cross_pt(Xc, n_d)
                 for c in range(3):
-                    Jt_s[3 + c, 0:_NC3] = inter3(xt1[c], xt2[c], xn[c])
+                    Jt_s[nj + 3 + c, 0:_NC3] = inter3(xt1[c], xt2[c], xn[c])
             else:
                 # J rows: base rotation columns e_c × X (X base-relative);
                 # base-translation entries keep the constant init pattern
-                Jt_s[3, 0:_NC3] = inter3(zK, -d2, d1)
-                Jt_s[4, 0:_NC3] = inter3(d2, zK, -d0)
-                Jt_s[5, 0:_NC3] = inter3(-d1, d0, zK)
+                Jt_s[nj + 3, 0:_NC3] = inter3(zK, -d2, d1)
+                Jt_s[nj + 4, 0:_NC3] = inter3(d2, zK, -d0)
+                Jt_s[nj + 5, 0:_NC3] = inter3(-d1, d0, zK)
             # ancestor joint columns: a_j × (X − pivot_j), zero outside the
             # joint's own foot-point run; on terrain, projected onto the
             # point's (t1, t2, n) directions
@@ -1100,7 +1115,7 @@ def _build_mega_kernel(
                         )
                         for i in range(3)
                     ]
-                    Jt_s[6 + j, 0:_NC3] = inter3(*full)
+                    Jt_s[j, 0:_NC3] = inter3(*full)
 
             # ---- joint-limit rows (contact.py joint_limit_bounds), STACKED --
             low = inc[C_LOW : C_LOW + nj]
@@ -1121,8 +1136,8 @@ def _build_mega_kernel(
             )
             rhs_t = jnp.concatenate(
                 [
-                    jnp.stack([_materialize(_mul(-dt, h[v])) for v in range(6)]),
                     dt * (tau_st + tf_st - h_j),
+                    jnp.stack([_materialize(_mul(-dt, h[v])) for v in range(6)]),
                     jnp.zeros((NVP - NV,) + LS, jnp.float32),
                 ],
                 axis=0,
@@ -1131,7 +1146,12 @@ def _build_mega_kernel(
             # ---- fused solve on tiles (warm-started from the previous
             # substep's impulses carried in the state rows) ----
             qvel_t = jnp.concatenate(
-                [st[19:37], jnp.zeros((NVP - NV,) + LS, jnp.float32)], axis=0
+                [
+                    st[25:37],  # joint velocities (solver rows 0:nj)
+                    st[19:25],  # base 6-DOF velocity (solver rows nj:NV)
+                    jnp.zeros((NVP - NV,) + LS, jnp.float32),
+                ],
+                axis=0,
             )
             lam_prev = jnp.concatenate(
                 [
@@ -1144,7 +1164,7 @@ def _build_mega_kernel(
                 qvel_new, lam = _fused_core_opt(
                     L_s, Mt_s[...], Jt_s[...], qvel_t, rhs_t,
                     tgt_s[...], sign_s[...], mu, valid, iterations,
-                    compliance=comp, lam0=lam_prev,
+                    compliance=comp, lam0=lam_prev, leg_blocks=True,
                 )
             else:
                 # SPLIT SOLVE (round 3): the round-2 S=2 experiment was 2x
@@ -1169,6 +1189,7 @@ def _build_mega_kernel(
                         tgt_s[:, sl], sign_s[:, sl],
                         mu[:, sl], valid[:, sl], iterations,
                         compliance=comp[sl], lam0=lam_prev[:, sl],
+                        leg_blocks=True,
                     )
                     qn_h.append(q_s)
                     lam_h.append(l_s)
@@ -1176,10 +1197,13 @@ def _build_mega_kernel(
                 lam = jnp.concatenate(lam_h, axis=1)
 
             # ---- velocity limits + semi-implicit integration (step.py) ----
-            vx, vy, vz = qvel_new[0], qvel_new[1], qvel_new[2]
-            wx_n, wy_n, wz_n = qvel_new[3], qvel_new[4], qvel_new[5]
+            # qvel_new comes back in solver order: joints 0:nj, base nj:NV
+            vx, vy, vz = qvel_new[nj], qvel_new[nj + 1], qvel_new[nj + 2]
+            wx_n, wy_n, wz_n = (
+                qvel_new[nj + 3], qvel_new[nj + 4], qvel_new[nj + 5]
+            )
             vlim = inc[C_VLIM : C_VLIM + nj]
-            vj_st = jnp.clip(qvel_new[6 : 6 + nj], -vlim, vlim)
+            vj_st = jnp.clip(qvel_new[0:nj], -vlim, vlim)
             # quaternion exponential-map update (spatial.py quat_integrate)
             ax, ay, az = wx_n * dt, wy_n * dt, wz_n * dt
             theta = jnp.sqrt(ax * ax + ay * ay + az * az)
@@ -1225,7 +1249,7 @@ def _build_mega_kernel(
                 [
                     head,
                     qj_st + dt * vj_st,
-                    qvel_new[0:6],
+                    qvel_new[nj : nj + 6],
                     vj_st,
                     lam[:60],
                     tau_st,

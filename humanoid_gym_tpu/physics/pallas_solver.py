@@ -413,7 +413,7 @@ def _fused_core(
 
 def _fused_core_opt(
     L_ref, Mt, Jt, qvel, rhs, target, sign, mu, valid, iterations,
-    compliance=None, lam0=None,
+    compliance=None, lam0=None, leg_blocks=False,
 ):
     """Optimized mega-kernel solve stage — same math as `_fused_core`, same
     operand layouts, restructured for ~3x fewer VPU ops:
@@ -441,22 +441,61 @@ def _fused_core_opt(
     sublane-env tiles (mega_kernel HGT_MEGA_SUB) where each per-env scalar
     op fills S of the 8 VPU sublanes. The code below is rank-agnostic:
     `ls = Mt.shape[2:]`.
+
+    leg_blocks (round 4): static two-chain block structure. When True the
+    caller supplies M/J/qvel/rhs in the SOLVER-INTERNAL DOF order
+    [leg-L joints 0:6, leg-R joints 6:12, base 12:18] (qvel_new comes back
+    in the same order; the constraint-row space is unchanged). Cross-leg
+    mass-matrix blocks are structurally zero (mega-kernel CRBA never
+    writes them), and with the base ordered LAST the Cholesky factor has
+    NO cross-leg fill-in — L[R-rows, L-cols] == 0 exactly. That sparsity
+    is exploited statically everywhere: the factor build and triangular
+    solves skip cross-leg terms, the B = L^-1 J^T rows of each leg stay
+    supported on that leg's 32-column window (own foot's 24 contact rows
+    + its 6 limit rows), the APGD matvec runs two half-width leg blocks
+    plus the dense 6-row base block, and the cross-leg Gram entries of
+    the step bound are skipped as exact zeros. Same math, same step
+    bound value, ~30% fewer VPU issue slots in the solve stage.
     """
     f32 = Mt.dtype
     ls = tuple(Mt.shape[2:])  # (128,) or (S, 128)
+    nc3 = 3 * N_POINTS
+    half = NV // 3  # 6: joints per leg (and base DOF count)
+
+    if leg_blocks:
+        def lz(i, k):  # L[i, k] structurally zero (below-diagonal, i > k)
+            return k < half and half <= i < 2 * half
+    else:
+        def lz(i, k):
+            return False
 
     # ---- in-place right-looking Cholesky in the scratch ref ----
+    # Block-structured: only the structurally-nonzero below-diagonal
+    # segments of each pivot column are formed, and trailing updates touch
+    # only lower blocks (upper-triangle entries are residue, never read).
     L_ref[...] = Mt
     for k in range(NV):
         d = jnp.sqrt(jnp.maximum(L_ref[k, k], 1e-12))  # ls
         L_ref[k, k] = d
-        if k + 1 < NV:
-            col = L_ref[k + 1 : NV, k] / d[None]  # (NV-1-k,) + ls
-            L_ref[k + 1 : NV, k] = col
-            L_ref[k + 1 : NV, k + 1 : NV] = (
-                L_ref[k + 1 : NV, k + 1 : NV]
-                - col[:, None] * col[None]
-            )
+        if leg_blocks and k < half:
+            segs = [(k + 1, half), (2 * half, NV)]
+        elif leg_blocks and k < 2 * half:
+            segs = [(k + 1, 2 * half), (2 * half, NV)]
+        else:
+            segs = [(k + 1, NV)]
+        segs = [(a, b) for a, b in segs if a < b]
+        cols = []
+        for a, b in segs:
+            c = L_ref[a:b, k] / d[None]
+            L_ref[a:b, k] = c
+            cols.append((a, b, c))
+        for aj, bj, cj in cols:  # update-column segment
+            for ai, bi, ci in cols:  # update-row segment
+                if ai < aj:
+                    continue  # strictly-above block: residue, skip
+                L_ref[ai:bi, aj:bj] = (
+                    L_ref[ai:bi, aj:bj] - ci[:, None] * cj[None]
+                )
     Lv = L_ref[...]  # (NVP, NVP) + ls; lower triangle + diag valid
     Ldiag = [Lv[k, k] for k in range(NV)]  # ls each
     Lcol = [[Lv[i, k] for k in range(NV)] for i in range(NV)]  # ls each
@@ -472,7 +511,8 @@ def _fused_core_opt(
             xk = x[k] / Ldiag[k]
             x[k] = xk
             for i in range(k + 1, NV):
-                x[i] = x[i] - Lcol[i][k] * xk
+                if not lz(i, k):
+                    x[i] = x[i] - Lcol[i][k] * xk
         return x
 
     def solve_upper_rows(rows_in):  # L^T x = b
@@ -481,7 +521,8 @@ def _fused_core_opt(
             xk = x[k] / Ldiag[k]
             x[k] = xk
             for i in range(k):
-                x[i] = x[i] - Lcol[k][i] * xk
+                if not lz(k, i):
+                    x[i] = x[i] - Lcol[k][i] * xk
         return x
 
     # ---- v_free = qvel + Mtilde^-1 rhs ----
@@ -499,8 +540,43 @@ def _fused_core_opt(
         xk = rows[k] / Ldiag[k][None]
         rows[k] = xk
         for i in range(k + 1, NV):
-            rows[i] = rows[i] - Lcol[i][k][None] * xk
+            if not lz(i, k):
+                rows[i] = rows[i] - Lcol[i][k][None] * xk
     rows = [rk * sign for rk in rows]
+
+    if leg_blocks:
+        # 32-column leg windows: a leg's B rows are supported on its own
+        # foot's contact rows plus its 6 limit rows; the window is padded
+        # to 32 with the neighbouring limit rows, whose entries in that
+        # leg's B rows are exact zeros (so shared-window sums are exact)
+        def half_cols(x, leg):
+            if leg == 0:  # contact rows [0:24], limit rows [48:56]
+                return jnp.concatenate([x[: nc3 // 2], x[nc3 : nc3 + 8]], 0)
+            # contact rows [24:48], limit rows [52:60]
+            return jnp.concatenate([x[nc3 // 2 : nc3], x[nc3 + 4 : nc3 + 12]], 0)
+
+        def scatter_halves(gL, gR, g_full):
+            # inverse of half_cols: add the two 32-wide leg images onto the
+            # dense (ROWS,) base image; overlap columns carry exact zeros
+            # from the non-owning leg
+            h = nc3 // 2
+            return g_full + jnp.concatenate(
+                [
+                    gL[:h],
+                    gR[:h],
+                    gL[h : h + 4],
+                    gL[h + 4 : h + 8] + gR[h : h + 4],
+                    gR[h + 4 : h + 8],
+                    jnp.zeros((ROWS - nc3 - 12,) + ls, f32),
+                ],
+                axis=0,
+            )
+
+        rows_L = [half_cols(rows[i], 0) for i in range(half)]
+        rows_R = [half_cols(rows[i], 1) for i in range(half, 2 * half)]
+        rows_B = rows[2 * half :]
+        base_L = [half_cols(rb, 0) for rb in rows_B]
+        base_R = [half_cols(rb, 1) for rb in rows_B]
 
     # u0 = J v_free (sign-folded); padded J columns (v >= NV) are zero
     u0 = jnp.zeros((ROWS,) + ls, f32)
@@ -518,30 +594,65 @@ def _fused_core_opt(
     # accumulation changes. Mosaic layout rule: (ROWS,) + ls -> ls
     # reductions over axis 0 lower fine (proven in the production kernel).
     rowsums = [None] * NV  # ls each: Sigma_w |G_vw|
-    for v in range(NV):
-        for w in range(v, NV):
-            gvw = jnp.abs(jnp.sum(rows[v] * rows[w], axis=0))  # ls
-            rowsums[v] = gvw if rowsums[v] is None else rowsums[v] + gvw
-            if w != v:
-                rowsums[w] = gvw if rowsums[w] is None else rowsums[w] + gvw
+
+    def _acc(v, w, gvw):
+        rowsums[v] = gvw if rowsums[v] is None else rowsums[v] + gvw
+        if w != v:
+            rowsums[w] = gvw if rowsums[w] is None else rowsums[w] + gvw
+
+    if leg_blocks:
+        # cross-leg Gram entries are exact zeros (disjoint column support)
+        # and skipped; leg-leg and leg-base pairs reduce over the 32-column
+        # leg window instead of all ROWS
+        for v in range(half):
+            for w in range(v, half):
+                _acc(v, w, jnp.abs(jnp.sum(rows_L[v] * rows_L[w], axis=0)))
+        for v in range(half):
+            for w in range(v, half):
+                _acc(half + v, half + w,
+                     jnp.abs(jnp.sum(rows_R[v] * rows_R[w], axis=0)))
+        for v in range(half):
+            for w in range(half):
+                _acc(v, 2 * half + w,
+                     jnp.abs(jnp.sum(rows_L[v] * base_L[w], axis=0)))
+                _acc(half + v, 2 * half + w,
+                     jnp.abs(jnp.sum(rows_R[v] * base_R[w], axis=0)))
+        for v in range(half):
+            for w in range(v, half):
+                _acc(2 * half + v, 2 * half + w,
+                     jnp.abs(jnp.sum(rows_B[v] * rows_B[w], axis=0)))
+    else:
+        for v in range(NV):
+            for w in range(v, NV):
+                _acc(v, w, jnp.abs(jnp.sum(rows[v] * rows[w], axis=0)))
     acc = rowsums[0]
     for v in range(1, NV):
         acc = jnp.maximum(acc, rowsums[v])
     absG_rowsum = acc[None]  # (1,) + ls
-    # NV rows only — the NVP padding rows are exact zeros and every use of
-    # Bv reduces over this axis (adding exact zeros never changes the sums)
-    Bv = jnp.stack(rows)  # (NV, ROWS) + ls
+    # stacked factor blocks for the APGD matvec; the NVP padding rows are
+    # exact zeros and every use reduces over this axis, so they're dropped
+    if leg_blocks:
+        BL = jnp.stack(rows_L)  # (6, 32) + ls
+        BR = jnp.stack(rows_R)
+        BB = jnp.stack(rows_B)  # (6, ROWS) + ls
+    else:
+        Bv = jnp.stack(rows)  # (NV, ROWS) + ls
 
     if compliance is not None:
         # CFM regularizer reg*I on live rows; diag(A)_r = sum_v B[v,r]^2
-        dA = jnp.sum(Bv * Bv, axis=0)  # (ROWS,) + ls
+        if leg_blocks:
+            dA = scatter_halves(
+                jnp.sum(BL * BL, axis=0),
+                jnp.sum(BR * BR, axis=0),
+                jnp.sum(BB * BB, axis=0),
+            )
+        else:
+            dA = jnp.sum(Bv * Bv, axis=0)  # (ROWS,) + ls
         nlive = jnp.maximum(jnp.sum(valid, axis=0), 1.0)
         reg = (compliance * jnp.sum(dA * valid, axis=0) / nlive)[None]
         absG_rowsum = absG_rowsum + reg
     L_apgd = jnp.maximum(absG_rowsum, 1e-6)
     step = 1.0 / L_apgd  # (1,) + ls
-
-    nc3 = 3 * N_POINTS
 
     def project(x):
         blocks = x[:nc3].reshape((N_POINTS, 3) + ls)
@@ -560,12 +671,28 @@ def _fused_core_opt(
         rest = jnp.maximum(x[nc3:], 0.0)
         return jnp.concatenate([cone, rest], axis=0) * valid
 
-    def matvec(y):  # A y = B^T (B y) (+ reg y on live rows)
-        t = jnp.sum(Bv * y[None], axis=1, keepdims=True)  # (NVP, 1) + ls
-        g = jnp.sum(Bv * t, axis=0)  # (ROWS,) + ls
-        if compliance is not None:
-            g = g + reg * (y * valid)
-        return g
+    if leg_blocks:
+        def matvec(y):  # A y = B^T (B y): two half-width leg blocks + base
+            yL = half_cols(y, 0)
+            yR = half_cols(y, 1)
+            tL = jnp.sum(BL * yL[None], axis=1, keepdims=True)  # (6, 1) + ls
+            tR = jnp.sum(BR * yR[None], axis=1, keepdims=True)
+            tB = jnp.sum(BB * y[None], axis=1, keepdims=True)
+            g = scatter_halves(
+                jnp.sum(BL * tL, axis=0),
+                jnp.sum(BR * tR, axis=0),
+                jnp.sum(BB * tB, axis=0),
+            )
+            if compliance is not None:
+                g = g + reg * (y * valid)
+            return g
+    else:
+        def matvec(y):  # A y = B^T (B y) (+ reg y on live rows)
+            t = jnp.sum(Bv * y[None], axis=1, keepdims=True)  # (NV, 1) + ls
+            g = jnp.sum(Bv * t, axis=0)  # (ROWS,) + ls
+            if compliance is not None:
+                g = g + reg * (y * valid)
+            return g
 
     def body(_, carry):
         lam, y, theta = carry
@@ -587,7 +714,16 @@ def _fused_core_opt(
     lam, _, _ = jax.lax.fori_loop(0, iterations, body, (init, init, ones))
 
     # ---- qvel_new = v_free + L^-T (B lam) ----
-    y1_rows = [jnp.sum(rk * lam, axis=0) for rk in rows]  # ls each
+    if leg_blocks:
+        lamL = half_cols(lam, 0)
+        lamR = half_cols(lam, 1)
+        y1_rows = (
+            [jnp.sum(rk * lamL, axis=0) for rk in rows_L]
+            + [jnp.sum(rk * lamR, axis=0) for rk in rows_R]
+            + [jnp.sum(rk * lam, axis=0) for rk in rows_B]
+        )
+    else:
+        y1_rows = [jnp.sum(rk * lam, axis=0) for rk in rows]  # ls each
     dv_rows = solve_upper_rows(y1_rows)
     dv = jnp.stack(dv_rows + [jnp.zeros(ls, f32)] * (NVP - NV))
     return v_free + dv, lam * sign
