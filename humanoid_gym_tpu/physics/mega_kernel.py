@@ -472,6 +472,77 @@ class _StaticModel:
             self.anc.append(list(reversed(chain)))
 
 
+def make_contact_xy_batched(sm: _StaticModel, model: RobotModel):
+    """Batched world-frame contact-point XY, specialized to the two leg
+    chains (round 4). The generic `vmap(fk)` path stacks (N, 13, 3, 3)
+    rotation chains through gathers and layout copies — measured 60-90 ms
+    of the terrain train iteration at 4096 envs — while the patch builder
+    only needs the 16 contact points' xy. This walks each 6-joint chain
+    with the kernel's symbolic constant-folding algebra on plain (N,)
+    values (no body stacking, no index gathers), which XLA fuses into a
+    handful of wide elementwise kernels. Same math as kinematics.fk
+    (matmul-free, so no precision context is needed)."""
+    depth = sm.nj // 2
+    cpo = np.asarray(sm.coff)  # (K, 3)
+    runs = sm.cruns
+
+    def contact_xy(qpos):  # (N, nq) -> (N, K, 2) f32
+        qpos = qpos.astype(jnp.float32)
+        w, x, y, z = qpos[:, 3], qpos[:, 4], qpos[:, 5], qpos[:, 6]
+        xx, yy, zz = x * x, y * y, z * z
+        xy_, xz_, yz_ = x * y, x * z, y * z
+        wx, wy, wz = w * x, w * y, w * z
+        R0 = (
+            (1 - 2 * (yy + zz), 2 * (xy_ - wz), 2 * (xz_ + wy)),
+            (2 * (xy_ + wz), 1 - 2 * (xx + zz), 2 * (yz_ - wx)),
+            (2 * (xz_ - wy), 2 * (yz_ + wx), 1 - 2 * (xx + yy)),
+        )
+        n = qpos.shape[0]
+        cols = []
+        for leg in range(2):
+            Rc, pc = R0, v3()
+            for d in range(depth):
+                j = leg * depth + d
+                Rj = m_mul(Rc, const_m3(sm.joint_rot[j]))
+                pc = v_add(m_vec(Rc, const_v3(sm.joint_pos[j])), pc)
+                qj = qpos[:, 7 + j]
+                s_, c_ = jnp.sin(qj), jnp.cos(qj)
+                Rax = tuple(
+                    tuple(
+                        _add(
+                            float(sm.ax_const[j][r][c]),
+                            _mul(float(sm.ax_sin[j][r][c]), s_),
+                            _mul(float(sm.ax_cos[j][r][c]), c_),
+                        )
+                        for c in range(3)
+                    )
+                    for r in range(3)
+                )
+                Rc = m_mul(Rj, Rax)
+            _, a, b_ = runs[leg]
+            for k in range(a, b_):
+                off = const_v3(cpo[k])
+                cols.append(
+                    tuple(
+                        _add(v_dot(Rc[i], off), pc[i], qpos[:, i])
+                        for i in range(2)
+                    )
+                )
+
+        def mat(v):  # symbolic scalar -> (N,) array
+            if v is None:
+                return jnp.zeros((n,), jnp.float32)
+            if isinstance(v, (int, float)):
+                return jnp.full((n,), float(v), jnp.float32)
+            return v
+
+        X = jnp.stack([mat(cx) for cx, _ in cols], axis=1)
+        Y = jnp.stack([mat(cy) for _, cy in cols], axis=1)
+        return jnp.stack([X, Y], axis=-1)
+
+    return contact_xy
+
+
 # --------------------------------------------------------------------------- #
 # the kernel
 # --------------------------------------------------------------------------- #
@@ -1483,8 +1554,13 @@ def make_mega_step_batched(
         WR, WC = BR, BC
         _hi = jax.lax.Precision.HIGHEST
 
+        # specialized leg-chain contact XY (round 4): replaces the
+        # vmap(fk)-based path, whose (N, 13, 3, 3) stacking/copies were
+        # 60-90 ms of the terrain iteration (same math, elementwise)
+        _contact_xy_b = make_contact_xy_batched(sm, model)
+
         def terrain_patches(qpos, sbias):  # (N, nq), (N, 2) -> (N, IN2 rows)
-            xy = jax.vmap(_contact_xy)(qpos)  # (N, K, 2)
+            xy = _contact_xy_b(qpos)  # (N, K, 2)
             gxf = jnp.clip((xy[..., 0] + t_border) * t_inv_h, 0.0, t_nrow - 1.001)
             gyf = jnp.clip((xy[..., 1] + t_border) * t_inv_h, 0.0, t_ncol - 1.001)
             px = gxf.astype(jnp.int32)

@@ -351,3 +351,38 @@ def test_terrain_patches_windowed_taps_exact():
             got[e, 9 * K + 3 * K : 9 * K + 4 * K], np.asarray(gy),
             rtol=1e-6, atol=5e-6,
         )
+
+
+def test_contact_xy_batched_matches_fk(xbot_model):
+    """The specialized leg-chain batched contact-XY (round 4, replaces the
+    vmap(fk) path in the terrain patch builder) must match the generic
+    FK-based computation."""
+    from humanoid_gym_tpu.physics import mega_kernel as mk
+    from humanoid_gym_tpu.physics.kinematics import f32_matmul, fk
+
+    m = xbot_model
+    sm = mk._StaticModel(m, KP, KD, np.asarray(m.dof_effort) * 0.85)
+    fn = jax.jit(mk.make_contact_xy_batched(sm, m))
+
+    rng = np.random.default_rng(3)
+    n = 64
+    qpos = np.zeros((n, 19), np.float32)
+    qpos[:, :3] = rng.normal(size=(n, 3)) * np.array([5.0, 5.0, 0.1]) + [0, 0, 0.9]
+    quat = rng.normal(size=(n, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    qpos[:, 3:7] = quat
+    qpos[:, 7:] = rng.uniform(-0.6, 0.6, (n, 12))
+    qpos = jnp.asarray(qpos)
+
+    cbody = jnp.asarray(m.contact_point_body)
+    coff = m.contact_point_offset
+
+    @f32_matmul
+    def ref_one(qp):
+        k = fk(m, qp)
+        pos = k.p[cbody] + jnp.einsum("kij,kj->ki", k.R[cbody], coff)
+        return pos[:, :2]
+
+    ref = jax.jit(jax.vmap(ref_one))(qpos)
+    got = fn(qpos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
