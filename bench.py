@@ -30,6 +30,14 @@ apply_platform_env()
 
 NOMINAL_REFERENCE_FPS = 60_000.0
 
+# FLOPs of one train iteration at 4096 envs / T=60 (counted by
+# scripts/roofline.py from the kernel jaxpr + analytic net matmuls:
+# physics 14.0 + rollout nets 454.2 + learn nets 2725.1 GFLOP). Scales
+# linearly with env count (T fixed). Rerun roofline.py after kernel or
+# network changes and update this constant.
+FLOPS_PER_ITER_4096 = 3.1933e12
+MXU_BF16_PEAK = 197e12  # TPU v5e
+
 
 def _probe_backend(timeout_s: float = 180.0):
     """Fail fast (instead of hanging forever) when the TPU tunnel is down:
@@ -169,6 +177,7 @@ def main():
         f"compile {compile_s:.1f}s, device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
+    flops = FLOPS_PER_ITER_4096 * num_envs / 4096.0
     print(
         json.dumps(
             {
@@ -179,6 +188,12 @@ def main():
                 # which ladder rung actually ran — a fallback must be
                 # distinguishable from a perf regression in the JSON record
                 "solver": solver,
+                # model-FLOPs utilization vs the chip's bf16 MXU peak
+                # (scripts/roofline.py). Low by construction: 98% of the
+                # iteration's FLOPs are the PPO nets; the physics kernel is
+                # batched tiny-matrix VPU work that is issue-bound, not
+                # FLOP-bound — see docs/PERFORMANCE.md roofline section.
+                "mfu": round(flops / (dt * MXU_BF16_PEAK), 4),
             }
         )
     )
