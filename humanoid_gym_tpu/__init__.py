@@ -34,5 +34,14 @@ XBOT_TERRAIN_MJCF = os.environ.get(
     "HGT_XBOT_TERRAIN_MJCF",
     os.path.join(_XBOT_L_DIR, "mjcf", "XBot-L-terrain.xml"),
 )
+# XBot-S validation model (generated — scripts/gen_xbots_mjcf.py; the
+# reference ships no XBot-S assets despite claiming sim2real on it,
+# README.md:19)
+XBOT_S_MJCF = os.environ.get(
+    "HGT_XBOT_S_MJCF",
+    os.path.join(
+        HGT_ROOT_DIR, "resources", "robots", "XBot-S", "mjcf", "XBot-S.xml"
+    ),
+)
 
 __version__ = "0.1.0"

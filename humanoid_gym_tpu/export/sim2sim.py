@@ -65,6 +65,41 @@ class Sim2SimCfg:
     # rollouts sample different footing (run_mujoco is otherwise fully
     # deterministic — the MJCF 3.x shim strips sensornoise).
     spawn_xy: tuple = (0.0, 0.0)
+    # fall detection: base height above local terrain below this = fallen
+    # (0.3 m for the 1.65 m XBot-L; scale for other morphologies)
+    fall_below: float = 0.3
+
+
+def xbots_sim2sim_cfg(**overrides) -> "Sim2SimCfg":
+    """Deployment config for the Froude-scaled XBot-S morphology
+    (config/xbots.py: s = 1.2/1.65, time/velocity x sqrt(s), kp x s^4).
+
+    The controller kd is integrated IMPLICITLY as MJCF joint damping
+    (scripts/gen_xbots_mjcf.py bakes kd + URDF damping into the model;
+    explicit -kd*dq torques at dt = 1 ms are unstable on the scaled,
+    nearly massless ankle bodies — same PD law, stable integration), so
+    kds here is zero."""
+    import math
+
+    from .. import XBOT_S_MJCF
+    from ..config.xbots import SCALE
+
+    s = SCALE
+    sq = math.sqrt(s)
+    cfg = Sim2SimCfg(
+        mujoco_model_path=XBOT_S_MJCF,
+        cmd_vx=0.4 * sq,
+        cycle_time=0.64 * sq,
+        kps=np.array(
+            [200, 200, 350, 350, 15, 15] * 2, np.float64
+        ) * s**4,
+        kds=np.zeros(12),
+        tau_limit=200.0 * s**4 * np.ones(12, np.float64),
+        fall_below=0.3 * s,
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
 
 
 def quaternion_to_euler_array(quat_xyzw: np.ndarray) -> np.ndarray:
@@ -267,10 +302,11 @@ def run_mujoco(
             vxs.append(float(data.qvel[0]))
             if record_states:
                 states.append(np.array(data.qpos))
-            # fall = base below 0.3 m over the LOCAL terrain (absolute z is
-            # meaningless on the hfield, where mounds reach 0.35 m)
+            # fall = base below cfg.fall_below over the LOCAL terrain
+            # (absolute z is meaningless on the hfield, where mounds reach
+            # 0.35 m)
             ground = height_at(float(data.xpos[1][0]), float(data.xpos[1][1]))
-            if fallen_at is None and base_z - ground < 0.3:
+            if fallen_at is None and base_z - ground < cfg.fall_below:
                 fallen_at = step * cfg.sim_dt
 
     out = {

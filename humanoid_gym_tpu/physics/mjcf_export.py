@@ -23,12 +23,22 @@ def model_to_mjcf(
     friction: float = 0.7,
     joint_damping=None,
     plane_zaxis=None,
+    deployable: bool = False,
+    base_z: float = 0.0,
 ) -> str:
     """with_contacts=True adds a ground plane + small spheres at the exact
     16 sole contact candidates, for trajectory-level contact oracles.
     joint_damping: optional (nj,) viscous damping — lets MuJoCo integrate a
     PD controller's kd implicitly (as our engine does), which is required for
-    stability of the nearly massless ankle bodies at dt=1 ms."""
+    stability of the nearly massless ankle bodies at dt=1 ms.
+
+    deployable=True emits a model `export.sim2sim.run_mujoco` can drive:
+    per-DOF torque motors (ctrlrange = URDF effort limits), an IMU site on
+    the base with the 'orientation' framequat + 'angular-velocity' gyro
+    sensors the deployment loop reads (reference XBot-L.xml:512-559), joint
+    limits enabled, and the base spawned at `base_z`. Used to synthesize the
+    XBot-S validation model (the reference ships no XBot-S assets;
+    README.md:19 claims sim2real on both morphologies)."""
     damping = (
         np.zeros(len(model.dof_names))
         if joint_damping is None
@@ -56,17 +66,20 @@ def model_to_mjcf(
         q_i = mat_to_quat_wxyz(V)
         lines = []
         if i == 0:
-            lines.append(f'{ind}<body name="{name}" pos="0 0 0">')
+            lines.append(f'{ind}<body name="{name}" pos="0 0 {base_z:.10g}">')
             lines.append(f'{ind}  <freejoint name="root"/>')
+            if deployable:
+                lines.append(f'{ind}  <site name="imu" pos="0 0 0"/>')
         else:
             q_j = mat_to_quat_wxyz(jrot[i - 1])
             lines.append(
                 f'{ind}<body name="{name}" pos="{fmt(jpos[i-1])}" quat="{fmt(q_j)}">'
             )
+            limited = "true" if deployable else "false"
             lines.append(
                 f'{ind}  <joint name="{model.dof_names[i-1]}" type="hinge" '
                 f'axis="{fmt(jaxis[i-1])}" range="{lower[i-1]:.10g} {upper[i-1]:.10g}" '
-                f'limited="false" damping="{damping[i-1]:.10g}" '
+                f'limited="{limited}" damping="{damping[i-1]:.10g}" '
                 f'armature="{armature}" frictionloss="0"/>'
             )
         lines.append(
@@ -75,12 +88,18 @@ def model_to_mjcf(
         )
         if with_contacts:
             offs = np.asarray(model.contact_point_offset)
+            # oracle tests pin the stiff near-rigid solref; the deployable
+            # model keeps MuJoCo's default contact params (solref 0.002 =
+            # 2x dt sits exactly on the stability boundary and lets a
+            # standing robot sink through the floor)
+            solref = "" if deployable else ' solref="0.002 1"'
+            size = "0.01" if deployable else "0.002"
             for k, b in enumerate(model.contact_point_body):
                 if b == i:
                     lines.append(
-                        f'{ind}  <geom name="cp{k}" type="sphere" size="0.002" '
+                        f'{ind}  <geom name="cp{k}" type="sphere" size="{size}" '
                         f'pos="{fmt(offs[k])}" friction="{friction:.10g} 0 0" '
-                        f'condim="3" solref="0.002 1"/>'
+                        f'condim="3"{solref}/>'
                     )
         for c, par in enumerate(model.body_parent):
             if par == i:
@@ -101,11 +120,27 @@ def model_to_mjcf(
         if with_contacts
         else ""
     )
+    tail = ""
+    if deployable:
+        effort = np.asarray(model.dof_effort, float)
+        motors = "\n".join(
+            f'    <motor name="{n}" joint="{n}" gear="1" '
+            f'ctrlrange="-{effort[j]:.10g} {effort[j]:.10g}"/>'
+            for j, n in enumerate(model.dof_names)
+        )
+        tail = f"""  <actuator>
+{motors}
+  </actuator>
+  <sensor>
+    <framequat name="orientation" objtype="site" objname="imu"/>
+    <gyro name="angular-velocity" site="imu"/>
+  </sensor>
+"""
     return f"""<mujoco model="hgt-oracle">
   <compiler angle="radian"/>
   <option timestep="0.001" gravity="0 0 -9.81" integrator="Euler"/>
   <worldbody>
 {plane}{body_xml(0, 2)}
   </worldbody>
-</mujoco>
+{tail}</mujoco>
 """
