@@ -61,3 +61,34 @@ def host_sharded_env_state(env, key, mesh: Mesh):
     local_state = jax.jit(env.init_state)(keys, idx)
     local_state = jax.device_get(local_state)
     return assemble_global(local_state, mesh)
+
+
+def local_env_shard(tree):
+    """Extract this process's env block from globally-sharded arrays as
+    host numpy (the exact inverse of `assemble_global`): concatenate the
+    process-addressable shards in env-axis order. Fully-addressable leaves
+    (single-process arrays, replicated scalars) pass through as numpy."""
+
+    def pull(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            shards = sorted(
+                x.addressable_shards,
+                key=lambda s: (s.index[0].start or 0) if s.index else 0,
+            )
+            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree.map(pull, tree)
+
+
+def broadcast_str(s: str | None, width: int = 1024) -> str:
+    """Share process 0's string with every process (fixed-width uint8
+    broadcast) — e.g. the timestamped checkpoint directory, which each
+    process would otherwise compute with its own clock."""
+    from jax.experimental import multihost_utils
+
+    raw = (s or "").encode()[:width]
+    buf = np.zeros((width,), np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out[out != 0]).decode()

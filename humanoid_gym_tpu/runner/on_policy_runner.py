@@ -122,6 +122,19 @@ class OnPolicyRunner:
         self.lenbuffer = deque(maxlen=100)
         self.tot_timesteps = 0
         self.tot_time = 0.0
+        # every process keeps the CHECKPOINT dir (process 0's, broadcast —
+        # each process computes the timestamped name with its own clock) so
+        # env-state shards can be written/read collectively; logging sinks
+        # below stay host-0-only
+        self._ckpt_dir = log_dir
+        if jax.process_count() > 1:
+            from ..parallel.multihost import broadcast_str
+
+            self._ckpt_dir = broadcast_str(
+                log_dir if self.is_main_process else None
+            ) or None
+            if self._ckpt_dir:
+                os.makedirs(self._ckpt_dir, exist_ok=True)
         if log_dir is not None and not self.is_main_process:
             log_dir = None  # only host 0 writes logs/checkpoints
             self.log_dir = None
@@ -228,18 +241,20 @@ class OnPolicyRunner:
 
             if self.log_dir and (it % self.save_interval == 0):
                 self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
-        if self.log_dir:
+        if self._ckpt_dir:
             # the final checkpoint bundles env state (curriculum levels,
             # command ranges, DR draws, histories) so a resumed run
             # continues the curriculum instead of re-spreading terrain
             # levels and dipping (the reference never checkpoints env
             # state — resume is learner-only, SURVEY §5; bundling is an
-            # extension, ~4 KB/env, final ckpt only)
+            # extension, ~4 KB/env, final ckpt only). Multi-process runs
+            # write per-process .envshard<rank> files (collective call).
             self.save(
                 os.path.join(
-                    self.log_dir, f"model_{self.current_learning_iteration}.ckpt"
+                    self._ckpt_dir,
+                    f"model_{self.current_learning_iteration}.ckpt",
                 ),
-                include_env_state=jax.process_count() == 1,
+                include_env_state=True,
             )
         self.close()
 
@@ -313,13 +328,36 @@ class OnPolicyRunner:
     # ------------------------------------------------------------------ #
 
     def save(self, path: str, include_env_state: bool = False):
+        multi = jax.process_count() > 1
+        if include_env_state and multi:
+            # pod-safe env-state checkpointing (SURVEY §5 preemption goal):
+            # every process writes ITS OWN env block — curriculum, DR
+            # draws, histories — as <path>.envshard<rank>; a preempted pod
+            # slice reassembles them on load. Collective: call on ALL
+            # processes.
+            from ..parallel.multihost import local_env_shard
+
+            shard = {
+                "env_state": serialization.to_state_dict(
+                    local_env_shard(self.env_state)
+                ),
+                "obs": local_env_shard(self.obs),
+                "priv_obs": local_env_shard(self.priv_obs),
+                "process_count": jax.process_count(),
+            }
+            with open(f"{path}.envshard{jax.process_index()}", "wb") as f:
+                f.write(serialization.msgpack_serialize(shard))
+        if not self.is_main_process:
+            return
         payload = {
             "train_state": serialization.to_state_dict(
                 jax.device_get(self.train_state)
             ),
             "iter": self.current_learning_iteration,
         }
-        if include_env_state:
+        if include_env_state and multi:
+            payload["env_shards"] = jax.process_count()
+        elif include_env_state:
             payload["env_state"] = serialization.to_state_dict(
                 jax.device_get(self.env_state)
             )
@@ -346,10 +384,44 @@ class OnPolicyRunner:
         if len(self.mesh.devices.flat) > 1:
             self.train_state = replicate(self.train_state, self.mesh)
         self.current_learning_iteration = int(payload.get("iter", 0))
+        # multi-process (pod) resume: reassemble per-process env shards
+        # into the globally-sharded state — curriculum/DR/history state
+        # survives preemption (SURVEY §5). Requires the same process count.
+        if jax.process_count() > 1 and payload.get("env_shards"):
+            from ..parallel.multihost import assemble_global, local_env_shard
+
+            try:
+                n_sh = int(payload["env_shards"])
+                if n_sh != jax.process_count():
+                    raise ValueError(
+                        f"ckpt has {n_sh} env shards, "
+                        f"running {jax.process_count()} processes"
+                    )
+                sp = f"{path}.envshard{jax.process_index()}"
+                with open(sp, "rb") as f:
+                    shard = serialization.msgpack_restore(f.read())
+                tmpl = local_env_shard(self.env_state)
+                local = serialization.from_state_dict(tmpl, shard["env_state"])
+                leaves = jax.tree.leaves(local)
+                per = self.num_envs // jax.process_count()
+                if leaves and leaves[0].shape[:1] != (per,):
+                    raise ValueError(
+                        f"shard env batch {leaves[0].shape[0]} != "
+                        f"local envs {per}"
+                    )
+                self.env_state = assemble_global(local, self.mesh)
+                self.obs = assemble_global(
+                    np.asarray(shard["obs"]), self.mesh
+                )
+                self.priv_obs = assemble_global(
+                    np.asarray(shard["priv_obs"]), self.mesh
+                )
+            except (ValueError, KeyError, OSError) as e:
+                print(f"[runner] env shards not restored: {e}")
+            return payload.get("infos")
         # restore bundled env state (final checkpoints of single-process
         # runs) so curriculum/DR state survives resume; skipped when the
-        # env shape changed (different num_envs) or under multi-process
-        # sharding (shards would need reassembly)
+        # env shape changed (different num_envs)
         es = payload.get("env_state")
         if es is not None and jax.process_count() == 1:
             try:
