@@ -43,5 +43,13 @@ XBOT_S_MJCF = os.environ.get(
         HGT_ROOT_DIR, "resources", "robots", "XBot-S", "mjcf", "XBot-S.xml"
     ),
 )
+# Froude-scaled deployment-terrain variant (same uneven.png, extents x s)
+XBOT_S_TERRAIN_MJCF = os.environ.get(
+    "HGT_XBOT_S_TERRAIN_MJCF",
+    os.path.join(
+        HGT_ROOT_DIR, "resources", "robots", "XBot-S", "mjcf",
+        "XBot-S-terrain.xml",
+    ),
+)
 
 __version__ = "0.1.0"

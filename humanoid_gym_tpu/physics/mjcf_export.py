@@ -25,12 +25,19 @@ def model_to_mjcf(
     plane_zaxis=None,
     deployable: bool = False,
     base_z: float = 0.0,
+    hfield_png: str = None,
+    hfield_size=None,
 ) -> str:
     """with_contacts=True adds a ground plane + small spheres at the exact
     16 sole contact candidates, for trajectory-level contact oracles.
     joint_damping: optional (nj,) viscous damping — lets MuJoCo integrate a
     PD controller's kd implicitly (as our engine does), which is required for
     stability of the nearly massless ankle bodies at dt=1 ms.
+
+    hfield_png + hfield_size=(rx, ry, zmax, zbase): replace the flat floor
+    with a PNG heightfield ground (reference XBot-L-terrain.xml:151-158
+    pattern) — used to synthesize the XBot-S deployment-terrain model with
+    Froude-scaled extents from the same uneven.png.
 
     deployable=True emits a model `export.sim2sim.run_mujoco` can drive:
     per-DOF torque motors (ctrlrange = URDF effort limits), an IMU site on
@@ -114,12 +121,27 @@ def model_to_mjcf(
         if plane_zaxis is not None
         else ""
     )
-    plane = (
-        f'    <geom name="floor" type="plane" size="50 50 1" '
-        f'friction="{friction:.10g} 0 0" condim="3"{zax}/>\n'
-        if with_contacts
-        else ""
-    )
+    assets = ""
+    if hfield_png is not None:
+        hs = np.asarray(hfield_size, float)
+        assets = (
+            f'  <asset>\n    <hfield name="ground_hf" file="{hfield_png}" '
+            f'ncol="0" nrow="0" size="{fmt(hs)}"/>\n  </asset>\n'
+        )
+        # 1 mm x offset like the reference terrain model (avoids exact
+        # grid-edge spawn alignment)
+        plane = (
+            f'    <geom name="floor" type="hfield" hfield="ground_hf" '
+            f'size="0 0 1" pos="0.001 0 0" '
+            f'friction="{friction:.10g} 0 0" condim="3"/>\n'
+        )
+    else:
+        plane = (
+            f'    <geom name="floor" type="plane" size="50 50 1" '
+            f'friction="{friction:.10g} 0 0" condim="3"{zax}/>\n'
+            if with_contacts
+            else ""
+        )
     tail = ""
     if deployable:
         effort = np.asarray(model.dof_effort, float)
@@ -139,7 +161,7 @@ def model_to_mjcf(
     return f"""<mujoco model="hgt-oracle">
   <compiler angle="radian"/>
   <option timestep="0.001" gravity="0 0 -9.81" integrator="Euler"/>
-  <worldbody>
+{assets}  <worldbody>
 {plane}{body_xml(0, 2)}
   </worldbody>
 {tail}</mujoco>

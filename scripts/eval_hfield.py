@@ -53,57 +53,85 @@ CMD_CYCLE = (0.4, 0.2, 0.0)
 TRACK_GATE = 0.5  # must cover >=50% of commanded distance when cmd > 0
 
 _WORKER_POLICY = None
+_WORKER_ROBOT = "l"
 
 
-def _pool_init(policy_path: str):
-    global _WORKER_POLICY
+def _pool_init(policy_path: str, robot: str = "l"):
+    global _WORKER_POLICY, _WORKER_ROBOT
     from humanoid_gym_tpu.export.policy_export import load_policy
 
     _WORKER_POLICY = load_policy(policy_path)
+    _WORKER_ROBOT = robot
 
 
 def _run_one(task):
     """One rollout in a pool worker: (idx, spawn_xy, cmd, duration)."""
     idx, spawn_xy, cmd, duration = task
-    from humanoid_gym_tpu.export.sim2sim import Sim2SimCfg, run_mujoco
-
-    cfg = Sim2SimCfg(
-        mujoco_model_path=TERRAIN_MJCF,
-        sim_duration=duration,
-        cmd_vx=cmd,
-        spawn_xy=spawn_xy,
+    from humanoid_gym_tpu.export.sim2sim import (
+        Sim2SimCfg, run_mujoco, xbots_sim2sim_cfg,
     )
+
+    if _WORKER_ROBOT == "s":
+        # Froude-scaled morphology on the Froude-scaled hfield: gains /
+        # cycle time / fall threshold from xbots_sim2sim_cfg; cmd is
+        # already velocity-scaled by the caller.
+        from humanoid_gym_tpu import XBOT_S_TERRAIN_MJCF
+
+        cfg = xbots_sim2sim_cfg(
+            mujoco_model_path=XBOT_S_TERRAIN_MJCF,
+            sim_duration=duration,
+            cmd_vx=cmd,
+            spawn_xy=spawn_xy,
+        )
+    else:
+        cfg = Sim2SimCfg(
+            mujoco_model_path=TERRAIN_MJCF,
+            sim_duration=duration,
+            cmd_vx=cmd,
+            spawn_xy=spawn_xy,
+        )
     out = run_mujoco(_WORKER_POLICY, cfg)
     return idx, cmd, out["fallen_at_s"], out["distance_x"]
 
 
 def eval_policy_path(policy_path: str, rollouts: int, duration: float,
-                     procs: int | None = None):
+                     procs: int | None = None, robot: str = "l"):
     import numpy as np
+
+    # Froude scaling for the S morphology: spawns sample the same RELATIVE
+    # area of the (scaled) hfield, commands the same relative velocity
+    # (v x sqrt(s)); the tracking gate is applied to the scaled command.
+    if robot == "s":
+        from humanoid_gym_tpu.config.xbots import SCALE
+
+        spawn_scale, cmd_scale = SCALE, SCALE ** 0.5
+    else:
+        spawn_scale, cmd_scale = 1.0, 1.0
 
     # Seeded spawn sequence: rng.uniform((N, 2)) is row-for-row identical
     # for any prefix, so the first 24 rollouts reproduce protocol v3's
     # spawns exactly and larger N only appends.
     rng = np.random.default_rng(12345)
-    spawns = rng.uniform(-8.0, 8.0, size=(rollouts, 2))
+    spawns = rng.uniform(-8.0, 8.0, size=(rollouts, 2)) * spawn_scale
+    cmds = tuple(round(c * cmd_scale, 6) for c in CMD_CYCLE)
     tasks = [
         (r, (float(spawns[r, 0]), float(spawns[r, 1])),
-         CMD_CYCLE[r % len(CMD_CYCLE)], duration)
+         cmds[r % len(cmds)], duration)
         for r in range(rollouts)
     ]
     procs = procs or max(1, min(3, (os.cpu_count() or 2) - 1))
     if procs == 1:
-        _pool_init(policy_path)
+        _pool_init(policy_path, robot)
         results = [_run_one(t) for t in tasks]
     else:
         ctx = mp.get_context("spawn")  # fork is unsafe under JAX/TPU libs
         with ctx.Pool(procs, initializer=_pool_init,
-                      initargs=(policy_path,)) as pool:
+                      initargs=(policy_path, robot)) as pool:
             results = pool.map(_run_one, tasks)
 
     survived, scored, dists = 0, 0, []
     per_cmd = {c: {"n": 0, "survived": 0, "scored": 0, "dist": []}
-               for c in CMD_CYCLE}
+               for c in cmds}
     for _, cmd, fallen_at, dist in results:
         ok = fallen_at is None
         tracked = cmd == 0.0 or dist >= TRACK_GATE * cmd * duration
@@ -133,7 +161,8 @@ def eval_policy_path(policy_path: str, rollouts: int, duration: float,
         # v4 = v3's seeded spawns + triangulated local-ground fall
         # detection + the 50%-tracking progress gate. Earlier tags:
         # spawn_v3_triangulated (no gate), spawn_v2, none.
-        "protocol": "spawn_v4_gated",
+        "protocol": "spawn_v4_gated" + ("_xbots" if robot == "s" else ""),
+        "robot": robot,
     }
 
 
@@ -163,12 +192,16 @@ def main():
                         "training); exit after --max_idle_s of no new ckpt")
     p.add_argument("--poll_s", type=float, default=120.0)
     p.add_argument("--max_idle_s", type=float, default=1800.0)
+    p.add_argument("--robot", choices=("l", "s"), default="l",
+                   help="'s' = XBot-S morphology on the Froude-scaled "
+                        "hfield (XBot-S-terrain.xml), commands x sqrt(s), "
+                        "spawns x s")
     args = p.parse_args()
 
     if args.policy:
         res = {"policy": args.policy,
                **eval_policy_path(args.policy, args.rollouts, args.duration,
-                                  args.procs)}
+                                  args.procs, args.robot)}
         print(json.dumps(res))
         return
 

@@ -61,6 +61,30 @@ def main():
         f.write(xml)
     print(f"wrote {out} ({len(xml)} bytes)")
 
+    # Deployment-terrain variant: the SAME uneven.png as the XBot-L hfield
+    # (reference XBot-L-terrain.xml:151 size="50 50 0.35 0.1") with every
+    # extent Froude-scaled by s — cells 1 m -> 0.73 m, mounds 0.35 -> 0.25 m
+    # — so the S morphology faces the same RELATIVE footing difficulty the
+    # L standings measure (docs/standings/RESULTS.md).
+    xml_t = model_to_mjcf(
+        m,
+        armature=cfg.asset.armature,
+        with_contacts=True,
+        friction=0.9,
+        joint_damping=np.asarray(m.dof_damping) + kd,
+        deployable=True,
+        base_z=float(cfg.init_state.pos[2]),
+        hfield_png="../../XBot-L/terrain/uneven.png",
+        hfield_size=(50 * SCALE, 50 * SCALE, 0.35 * SCALE, 0.1 * SCALE),
+    )
+    out_t = os.path.join(
+        HGT_ROOT_DIR, "resources", "robots", "XBot-S", "mjcf",
+        "XBot-S-terrain.xml",
+    )
+    with open(out_t, "w") as f:
+        f.write(xml_t)
+    print(f"wrote {out_t} ({len(xml_t)} bytes)")
+
 
 if __name__ == "__main__":
     main()

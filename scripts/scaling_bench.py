@@ -6,18 +6,49 @@ parallel efficiency. On this dev box it runs against emulated CPU devices
 (XLA_FLAGS=--xla_force_host_platform_device_count=N before launch); on a TPU
 slice the same code measures real ICI scaling.
 
+Emulation caveat (why the committed artifact carries three protocols): a
+single emulated CPU "device" already spreads its compute over every host
+core via XLA's intra-op thread pool, so on a fixed 4-core host the 1-device
+weak-scaling baseline is NOT one device's worth of hardware — multi-device
+efficiency computed against it conflates sharding overhead with core
+timeslicing. The artifact therefore records:
+
+  1. `fixed_host`  — the naive weak-scaling sweep (all points share every
+     core), median-of-k with per-point spread. Interpret with the caveat.
+  2. `pinned`      — device-per-core points (n devices pinned to n cores,
+     n <= nproc), the closest emulation of "each device is its own
+     hardware". The 1-device/1-core baseline over-pays for XLA's fixed-size
+     runtime pool spinning on one core, so ratios >1.0 appear; recorded
+     as measured.
+  3. `control`     — the serialization control and the emulation's one
+     clean signal: the SAME total env batch, sharded over max_devices vs
+     unsharded on one device, on identical cores. Any sharding-induced
+     serialization (e.g. an accidental global all-gather of env state)
+     shows up directly as a ratio drop; compute parallelism cancels out.
+
+Real >=80% ICI scaling remains hardware-gated (one chip on this box); the
+driver's dryrun_multichip validates the sharded step compiles+runs at 8
+devices, and these protocols keep the harness honest until a pod is
+available.
+
 Usage:
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python scripts/scaling_bench.py --envs_per_device 64 --iters 3
+        python scripts/scaling_bench.py --repeats 5            # sweep
+    ... scripts/scaling_bench.py --control --repeats 5         # control only
+    python scripts/scaling_bench.py --artifact docs/scaling_emulated.json
+        # full three-protocol run (spawns pinned subprocesses itself)
 """
 
 import argparse
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hgt_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
@@ -77,35 +108,150 @@ def measure(n_devices: int, envs_per_device: int, iters: int, T: int):
     return T * num_envs / dt
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--envs_per_device", type=int, default=64)
-    p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--horizon", type=int, default=12)
-    p.add_argument("--max_devices", type=int, default=None)
-    args = p.parse_args()
+def measure_stats(n_devices, envs_per_device, iters, T, repeats):
+    """Median-of-k around measure(); returns per-point spread, not just a scalar."""
+    vals = [measure(n_devices, envs_per_device, iters, T) for _ in range(repeats)]
+    med = statistics.median(vals)
+    return {
+        "steps_per_sec": round(med, 1),
+        "repeats": repeats,
+        "min": round(min(vals), 1),
+        "max": round(max(vals), 1),
+        "cv": round(statistics.pstdev(vals) / med, 4) if med else None,
+    }
 
+
+def run_sweep(args):
     import jax
 
     n_avail = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= (args.max_devices or n_avail)]
-    results = {}
+    points, base = [], None
     for n in sizes:
-        fps = measure(n, args.envs_per_device, args.iters, args.horizon)
-        results[n] = fps
-        base = results[sizes[0]]
-        eff = fps / (base * n / sizes[0])
-        print(
-            json.dumps(
-                {
-                    "devices": n,
-                    "envs": n * args.envs_per_device,
-                    "steps_per_sec": round(fps, 1),
-                    "scaling_efficiency": round(eff, 4),
-                }
-            ),
-            flush=True,
+        st = measure_stats(n, args.envs_per_device, args.iters, args.horizon, args.repeats)
+        st.update(devices=n, envs=n * args.envs_per_device)
+        if base is None:
+            base = st["steps_per_sec"]
+        st["scaling_efficiency"] = round(
+            st["steps_per_sec"] / (base * n / sizes[0]), 4
         )
+        points.append(st)
+        print(json.dumps(st), flush=True)
+    return points
+
+
+def run_control(args):
+    """Same total envs, sharded over max devices vs unsharded on one device."""
+    import jax
+
+    n = args.max_devices or len(jax.devices())
+    total = n * args.envs_per_device
+    unsharded = measure_stats(1, total, args.iters, args.horizon, args.repeats)
+    sharded = measure_stats(n, args.envs_per_device, args.iters, args.horizon, args.repeats)
+    out = {
+        "total_envs": total,
+        "devices_sharded": n,
+        "unsharded_steps_per_sec": unsharded,
+        "sharded_steps_per_sec": sharded,
+        "sharded_over_unsharded": round(
+            sharded["steps_per_sec"] / unsharded["steps_per_sec"], 4
+        ),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def run_pinned_point(args):
+    """Child-process entry: one device-per-core point (invoked via --pinned-point)."""
+    st = measure_stats(
+        args.pinned_point, args.envs_per_device, args.iters, args.horizon, args.repeats
+    )
+    st.update(devices=args.pinned_point, envs=args.pinned_point * args.envs_per_device)
+    print("PINNED " + json.dumps(st), flush=True)
+
+
+def spawn_pinned_sweep(args):
+    """Parent: one subprocess per point, n devices pinned to cores 0..n-1."""
+    nproc = os.cpu_count() or 1
+    sizes = [n for n in (1, 2, 4, 8) if n <= min(nproc, args.max_devices or nproc)]
+    points, base = [], None
+    for n in sizes:
+        cmd = [
+            "taskset", "-c", f"0-{n - 1}" if n > 1 else "0",
+            sys.executable, os.path.abspath(__file__),
+            "--pinned-point", str(n),
+            "--envs_per_device", str(args.envs_per_device),
+            "--iters", str(args.iters),
+            "--horizon", str(args.horizon),
+            "--repeats", str(args.repeats),
+        ]
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("PINNED ")]
+        if not line:
+            print(f"pinned point n={n} failed:\n{out.stderr[-2000:]}", file=sys.stderr)
+            continue
+        st = json.loads(line[-1][len("PINNED "):])
+        if base is None:
+            base = st["steps_per_sec"]
+        st["scaling_efficiency"] = round(st["steps_per_sec"] / (base * n), 4)
+        points.append(st)
+        print(json.dumps(st), flush=True)
+    return points
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--envs_per_device", type=int, default=16)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--horizon", type=int, default=8)
+    p.add_argument("--max_devices", type=int, default=None)
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--control", action="store_true", help="serialization control only")
+    p.add_argument("--pinned", action="store_true", help="device-per-core sweep only")
+    p.add_argument("--pinned-point", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="run all three protocols, write the JSON artifact here")
+    args = p.parse_args()
+
+    if args.pinned_point is not None:
+        run_pinned_point(args)
+        return
+    if args.artifact:
+        artifact = {
+            "protocol": {
+                "workload": "full fused PPO train iteration (rollout T=%d + learn), "
+                            "%d envs/device, weak scaling" % (args.horizon, args.envs_per_device),
+                "host": f"{os.cpu_count()} CPU cores, emulated devices "
+                        f"(xla_force_host_platform_device_count)",
+                "stat": f"median of {args.repeats}, spread as min/max/cv per point",
+                "fixed_host": "all points share every core; the 1-device baseline "
+                              "already uses all cores via intra-op threads, so "
+                              "efficiency conflates sharding with core timeslicing",
+                "pinned": "n devices pinned (taskset) to n cores, own subprocess; "
+                          "1-core baseline over-pays XLA's fixed-size spinning "
+                          "pool, so >1.0 ratios appear",
+                "control": "same total envs sharded vs unsharded on identical "
+                           "cores — compute parallelism cancels; a ratio drop "
+                           "IS sharding-induced serialization. The clean signal.",
+            },
+            "fixed_host": run_sweep(args),
+            "control": run_control(args),
+            "pinned": spawn_pinned_sweep(args),
+        }
+        with open(args.artifact, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.artifact}", flush=True)
+        return
+    if args.control:
+        run_control(args)
+        return
+    if args.pinned:
+        spawn_pinned_sweep(args)
+        return
+    run_sweep(args)
 
 
 if __name__ == "__main__":
