@@ -95,12 +95,29 @@ def main():
         if fb not in ladder:
             ladder.append(fb)
 
+    # HGT_BENCH_TASK: bench any registered task instead of the flat XBot-L
+    # default — e.g. humanoid_ppo_terrain_robust for the committed terrain
+    # number (docs/PERFORMANCE.md). The default headline path is unchanged.
+    task = os.environ.get("HGT_BENCH_TASK")
+
     def run_with_solver(solver):
-        cfg = XBotLCfg()
-        cfg.env.num_envs = num_envs
-        cfg.sim.solver.solver_type = solver
-        tcfg = XBotLCfgPPO()
-        env = make_env(cfg)
+        if task:
+            from humanoid_gym_tpu import registry
+
+            spec = registry.get_task(task)
+
+            def _ovr(c):
+                c.sim.solver.solver_type = solver
+
+            env, cfg = registry.make_env(task, num_envs=num_envs,
+                                         cfg_overrides=_ovr)
+            tcfg = spec.make_train_cfg()
+        else:
+            cfg = XBotLCfg()
+            cfg.env.num_envs = num_envs
+            cfg.sim.solver.solver_type = solver
+            tcfg = XBotLCfgPPO()
+            env = make_env(cfg)
         net = ActorCritic(
             num_actions=cfg.env.num_actions,
             actor_hidden=tuple(tcfg.policy.actor_hidden_dims),
@@ -174,29 +191,30 @@ def main():
     fps = T * num_envs / dt
     print(
         f"# bench: {num_envs} envs, T={T}, solver={solver}, iter_time {dt:.3f}s, "
-        f"compile {compile_s:.1f}s, device={jax.devices()[0].platform}",
+        f"compile {compile_s:.1f}s, device={jax.devices()[0].platform}"
+        + (f", task={task}" if task else ""),
         file=sys.stderr,
     )
-    flops = FLOPS_PER_ITER_4096 * num_envs / 4096.0
-    print(
-        json.dumps(
-            {
-                "metric": "ppo_env_steps_per_sec_per_chip",
-                "value": round(fps, 1),
-                "unit": "env_steps/s",
-                "vs_baseline": round(fps / NOMINAL_REFERENCE_FPS, 4),
-                # which ladder rung actually ran — a fallback must be
-                # distinguishable from a perf regression in the JSON record
-                "solver": solver,
-                # model-FLOPs utilization vs the chip's bf16 MXU peak
-                # (scripts/roofline.py). Low by construction: 98% of the
-                # iteration's FLOPs are the PPO nets; the physics kernel is
-                # batched tiny-matrix VPU work that is issue-bound, not
-                # FLOP-bound — see docs/PERFORMANCE.md roofline section.
-                "mfu": round(flops / (dt * MXU_BF16_PEAK), 4),
-            }
-        )
-    )
+    out = {
+        "metric": "ppo_env_steps_per_sec_per_chip"
+        + (f"[{task}]" if task else ""),
+        "value": round(fps, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(fps / NOMINAL_REFERENCE_FPS, 4),
+        # which ladder rung actually ran — a fallback must be
+        # distinguishable from a perf regression in the JSON record
+        "solver": solver,
+    }
+    if not task:
+        # model-FLOPs utilization vs the chip's bf16 MXU peak
+        # (scripts/roofline.py; the census counts the FLAT task, so the
+        # field is omitted under HGT_BENCH_TASK). Low by construction:
+        # 98% of the iteration's FLOPs are the PPO nets; the physics
+        # kernel is batched tiny-matrix VPU work that is issue-bound,
+        # not FLOP-bound — see docs/PERFORMANCE.md roofline section.
+        flops = FLOPS_PER_ITER_4096 * num_envs / 4096.0
+        out["mfu"] = round(flops / (dt * MXU_BF16_PEAK), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
