@@ -148,3 +148,58 @@ def test_xbot_s_sim2sim_walks():
     assert out["mean_height"] > 0.45, out
     ideal = cfg.cmd_vx * cfg.sim_duration
     assert out["distance_x"] >= 0.5 * ideal, f"no forward walk: {out}"
+
+
+def test_xbot_s_terrain_model_scaled_hfield():
+    """The generated XBot-S terrain model (round-4 hfield standings) must
+    carry the Froude-scaled heightfield: same uneven.png as XBot-L, every
+    extent x s (cells 1 m -> 0.73 m, mounds 0.35 -> 0.25 m)."""
+    import os
+
+    import mujoco
+
+    from humanoid_gym_tpu import XBOT_S_TERRAIN_MJCF
+    from humanoid_gym_tpu.export.sim2sim import _load_mj_model
+
+    assert os.path.exists(XBOT_S_TERRAIN_MJCF), "run scripts/gen_xbots_mjcf.py"
+    m = _load_mj_model(XBOT_S_TERRAIN_MJCF)
+    assert m.nhfield == 1
+    s = SCALE
+    np.testing.assert_allclose(
+        np.asarray(m.hfield_size[0]),
+        [50 * s, 50 * s, 0.35 * s, 0.1 * s],
+        rtol=1e-6,
+    )
+    # the ground geom is the hfield, not a plane
+    hf_geoms = [
+        g for g in range(m.ngeom)
+        if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_HFIELD
+    ]
+    assert len(hf_geoms) == 1
+
+
+@pytest.mark.slow
+def test_xbot_s_walks_on_scaled_hfield():
+    """Short S-terrain behavioral gate backing the N=96 standings
+    (docs/standings/v4_xbots_hfield_n96.json): the shipped joint policy
+    survives 6 s on the Froude-scaled uneven hfield at a seeded spawn and
+    tracks the scaled command."""
+    import math
+    import os
+
+    if not os.path.exists(_demo_path()):
+        pytest.skip("demo artifact not present")
+    from humanoid_gym_tpu import XBOT_S_TERRAIN_MJCF
+    from humanoid_gym_tpu.export.policy_export import load_policy
+    from humanoid_gym_tpu.export.sim2sim import run_mujoco, xbots_sim2sim_cfg
+
+    vx = 0.4 * math.sqrt(SCALE)
+    cfg = xbots_sim2sim_cfg(
+        mujoco_model_path=XBOT_S_TERRAIN_MJCF,
+        sim_duration=6.0,
+        cmd_vx=vx,
+        spawn_xy=(-4.0, 1.5),  # standings rollout #4 region (survives)
+    )
+    out = run_mujoco(load_policy(_demo_path()), cfg)
+    assert out["fallen_at_s"] is None, f"fell on scaled hfield: {out}"
+    assert out["distance_x"] >= 0.5 * vx * cfg.sim_duration, out
