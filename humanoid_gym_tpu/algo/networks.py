@@ -9,6 +9,17 @@ reparameterization; Adam sees std directly).
 
 Big, batched matmuls in bfloat16-friendly shapes: the (minibatch, 705)x(705,
 512) products are the MXU work of the learning phase.
+
+Mixed precision (round 4): with compute_dtype="bfloat16" the HIDDEN-layer
+matmuls run in bf16 on the MXU (f32 master params, MXU accumulates in f32,
+flax casts kernel+activations per layer); each MLP's OUTPUT layer and
+everything distributional (action mean head, std, value head, log-prob/KL
+math in ppo.py) stays f32. The default "auto" resolves to bf16 on
+accelerators and f32 on CPU — CPU test goldens stay bit-stable while the
+TPU path takes the 2x MXU rate. Fidelity-gated: the production recipe
+retrained under bf16 must hold its flat-MuJoCo and hfield transfer
+(docs/ROUND4.md); 98% of the train iteration's FLOPs are these nets
+(scripts/roofline.py).
 """
 
 from __future__ import annotations
@@ -19,15 +30,27 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def resolve_compute_dtype(name: str = "auto"):
+    """'auto' -> bf16 on accelerators, f32 on CPU; else the named dtype."""
+    if name in (None, "", "auto"):
+        import jax
+
+        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
 class MLP(nn.Module):
     hidden: Sequence[int]
     out: int
+    dtype: type = jnp.float32  # compute dtype of the HIDDEN matmuls
 
     @nn.compact
     def __call__(self, x):
         for h in self.hidden:
-            x = nn.elu(nn.Dense(h)(x))
-        return nn.Dense(self.out)(x)
+            x = nn.elu(nn.Dense(h, dtype=self.dtype)(x))
+        # output layer in f32: casts bf16 activations up, so the head
+        # matmul and everything downstream (log-probs, values) are f32
+        return nn.Dense(self.out, dtype=jnp.float32)(x)
 
 
 class ActorCritic(nn.Module):
@@ -41,15 +64,20 @@ class ActorCritic(nn.Module):
     # state estimation. 0 disables (default — reference parity).
     estimator_dim: int = 0
     estimator_hidden: Sequence[int] = (256, 128)
+    # "auto" | "float32" | "bfloat16" — see resolve_compute_dtype
+    compute_dtype: str = "auto"
 
     def setup(self):
-        self.actor = MLP(self.actor_hidden, self.num_actions)
-        self.critic = MLP(self.critic_hidden, 1)
+        dt = resolve_compute_dtype(self.compute_dtype)
+        self.actor = MLP(self.actor_hidden, self.num_actions, dtype=dt)
+        self.critic = MLP(self.critic_hidden, 1, dtype=dt)
         self.std = self.param(
             "std", lambda key: jnp.full((self.num_actions,), self.init_noise_std)
         )
         if self.estimator_dim > 0:
-            self.estimator = MLP(self.estimator_hidden, self.estimator_dim)
+            self.estimator = MLP(
+                self.estimator_hidden, self.estimator_dim, dtype=dt
+            )
 
     def __call__(self, obs, priv_obs) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """(mean, std, value) — used for parameter init."""

@@ -364,6 +364,11 @@ class PolicyCfg:
     # DWL-style privileged-state estimator head (0 = off)
     estimator_dim: int = 0
     estimator_hidden_dims: List[int] = _f(lambda: [256, 128])
+    # Hidden-matmul compute dtype: "auto" = bf16 on accelerators (MXU
+    # rate; f32 params/heads/log-prob math), f32 on CPU (bit-stable test
+    # goldens). EXTENSION vs the reference (torch f32 throughout);
+    # fidelity-gated in docs/ROUND4.md.
+    compute_dtype: str = "auto"
 
 
 @dataclass

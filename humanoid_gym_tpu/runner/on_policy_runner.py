@@ -60,6 +60,7 @@ class OnPolicyRunner:
             estimator_hidden=tuple(
                 getattr(train_cfg.policy, "estimator_hidden_dims", (256, 128))
             ),
+            compute_dtype=getattr(train_cfg.policy, "compute_dtype", "auto"),
         )
         algo_cfg = PPOConfig.from_cfg(train_cfg.algorithm)
         algo_cfg.num_steps_per_env = self.num_steps_per_env
