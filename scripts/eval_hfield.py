@@ -166,13 +166,15 @@ def eval_policy_path(policy_path: str, rollouts: int, duration: float,
     }
 
 
-def eval_ckpt(ckpt_path: str, rollouts: int, duration: float):
+def eval_ckpt(ckpt_path: str, rollouts: int, duration: float,
+              robot: str = "l"):
     from scripts.robustness_curve import export_ckpt
 
     d = os.path.join("/tmp", "hgt_hfield_eval")
     os.makedirs(d, exist_ok=True)
     export_ckpt(ckpt_path, d)
-    return eval_policy_path(os.path.join(d, "policy.npz"), rollouts, duration)
+    return eval_policy_path(os.path.join(d, "policy.npz"), rollouts, duration,
+                            robot=robot)
 
 
 def main():
@@ -220,7 +222,8 @@ def main():
     def score(n, f, fh):
         seen.add(n)
         try:
-            res = {"ckpt": n, **eval_ckpt(f, args.rollouts, args.duration)}
+            res = {"ckpt": n, **eval_ckpt(f, args.rollouts, args.duration,
+                                          args.robot)}
         except Exception as e:  # mid-write ckpt, truncated msgpack, ...
             seen.discard(n)
             print(f"ckpt {n}: eval failed ({e}); will retry", flush=True)
