@@ -30,14 +30,6 @@ apply_platform_env()
 
 NOMINAL_REFERENCE_FPS = 60_000.0
 
-# FLOPs of one train iteration at 4096 envs / T=60 (counted by
-# scripts/roofline.py from the kernel jaxpr + analytic net matmuls:
-# physics 14.0 + rollout nets 454.2 + learn nets 2725.1 GFLOP). Scales
-# linearly with env count (T fixed). Rerun roofline.py after kernel or
-# network changes and update this constant.
-FLOPS_PER_ITER_4096 = 3.1933e12
-MXU_BF16_PEAK = 197e12  # TPU v5e
-
 
 def _probe_backend(timeout_s: float = 180.0):
     """Fail fast (instead of hanging forever) when the TPU tunnel is down:
@@ -200,19 +192,31 @@ def main():
         + (f"[{task}]" if task else ""),
         "value": round(fps, 1),
         "unit": "env_steps/s",
-        "vs_baseline": round(fps / NOMINAL_REFERENCE_FPS, 4),
         # which ladder rung actually ran — a fallback must be
         # distinguishable from a perf regression in the JSON record
         "solver": solver,
     }
     if not task:
-        # model-FLOPs utilization vs the chip's bf16 MXU peak
-        # (scripts/roofline.py; the census counts the FLAT task, so the
-        # field is omitted under HGT_BENCH_TASK). Low by construction:
-        # 98% of the iteration's FLOPs are the PPO nets; the physics
-        # kernel is batched tiny-matrix VPU work that is issue-bound,
-        # not FLOP-bound — see docs/PERFORMANCE.md roofline section.
-        flops = FLOPS_PER_ITER_4096 * num_envs / 4096.0
+        # vs_baseline only for the flat headline task: NOMINAL_REFERENCE_FPS
+        # is the flat XBot-L figure, so dividing a terrain/joint task's fps
+        # by it would compare unlike workloads (same reason mfu is omitted).
+        out["vs_baseline"] = round(fps / NOMINAL_REFERENCE_FPS, 4)
+        # model-FLOPs utilization vs the chip's bf16 MXU peak, computed at
+        # bench time from the live kernel jaxpr + net dims
+        # (humanoid_gym_tpu.utils.roofline — same census scripts/roofline.py
+        # prints, so the two agree by construction and kernel changes cannot
+        # stale this field). Low by construction: 98% of the iteration's
+        # FLOPs are the PPO nets; the physics kernel is batched tiny-matrix
+        # VPU work that is issue-bound, not FLOP-bound — see
+        # docs/PERFORMANCE.md roofline section. T is fixed at 60 in the
+        # census; guard so a changed rollout length can't silently skew it.
+        from humanoid_gym_tpu.utils.roofline import (
+            MXU_BF16_PEAK,
+            iteration_flops,
+        )
+
+        assert T == 60, "roofline census assumes T=60; update utils/roofline.py"
+        flops = iteration_flops(num_envs, T=T)
         out["mfu"] = round(flops / (dt * MXU_BF16_PEAK), 4)
     print(json.dumps(out))
 

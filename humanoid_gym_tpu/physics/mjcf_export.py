@@ -123,6 +123,16 @@ def model_to_mjcf(
     )
     assets = ""
     if hfield_png is not None:
+        # the hfield floor replaces the plane outright, so arguments that
+        # only shape the plane would be silently dropped — reject instead
+        # (ADVICE r4)
+        if plane_zaxis is not None:
+            raise ValueError("plane_zaxis is incompatible with hfield_png")
+        if not with_contacts:
+            raise ValueError(
+                "hfield_png requires with_contacts=True (the hfield IS a "
+                "contact floor)"
+            )
         hs = np.asarray(hfield_size, float)
         assets = (
             f'  <asset>\n    <hfield name="ground_hf" file="{hfield_png}" '

@@ -328,6 +328,41 @@ class OnPolicyRunner:
 
     # ------------------------------------------------------------------ #
 
+    def _honor_ckpt_dtype(self, recorded):
+        """Checkpoints record the RESOLVED net compute dtype (ADVICE r4:
+        `compute_dtype="auto"` is backend-dependent, so loading an
+        f32-trained checkpoint on TPU would silently continue under bf16
+        and eval would run a numerically different net than training).
+        If the task config left the dtype on "auto" and the checkpoint
+        disagrees with the local resolution, rebuild the net (and the
+        jitted train iter) under the checkpoint's dtype; an explicit
+        per-task pin wins but the mismatch is reported."""
+        if not recorded:
+            return  # pre-round-5 checkpoint: keep local resolution
+        from ..algo.networks import resolve_compute_dtype
+
+        current = np.dtype(resolve_compute_dtype(self.net.compute_dtype)).name
+        if recorded == current:
+            return
+        if self.net.compute_dtype not in (None, "", "auto"):
+            print(
+                f"[runner] WARNING: checkpoint was trained with "
+                f"compute_dtype={recorded} but policy.compute_dtype pins "
+                f"{self.net.compute_dtype}; keeping the explicit pin.",
+                flush=True,
+            )
+            return
+        print(
+            f"[runner] checkpoint records compute_dtype={recorded} "
+            f"(local 'auto' resolves to {current}); honoring the checkpoint.",
+            flush=True,
+        )
+        self.net = self.net.clone(compute_dtype=recorded)
+        self._train_iter = jax.jit(
+            make_train_iter(self.env, self.net, self.algo_cfg, self.num_envs),
+            donate_argnums=(0, 1),
+        )
+
     def save(self, path: str, include_env_state: bool = False):
         multi = jax.process_count() > 1
         if include_env_state and multi:
@@ -350,11 +385,19 @@ class OnPolicyRunner:
                 f.write(serialization.msgpack_serialize(shard))
         if not self.is_main_process:
             return
+        from ..algo.networks import resolve_compute_dtype
+
         payload = {
             "train_state": serialization.to_state_dict(
                 jax.device_get(self.train_state)
             ),
             "iter": self.current_learning_iteration,
+            # RESOLVED net compute dtype ("auto" is backend-dependent):
+            # load() uses it so resuming/eval on a different backend keeps
+            # the numerics the run was trained with (ADVICE r4).
+            "compute_dtype": np.dtype(
+                resolve_compute_dtype(self.net.compute_dtype)
+            ).name,
         }
         if include_env_state and multi:
             payload["env_shards"] = jax.process_count()
@@ -372,6 +415,7 @@ class OnPolicyRunner:
     def load(self, path: str, load_optimizer: bool = True):
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
+        self._honor_ckpt_dtype(payload.get("compute_dtype"))
         ts = serialization.from_state_dict(
             jax.device_get(self.train_state), payload["train_state"]
         )

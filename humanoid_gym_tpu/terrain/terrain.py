@@ -52,6 +52,7 @@ class TerrainMap:
         origins = np.zeros((cfg.num_rows, cfg.num_cols, 3))
         proportions = np.cumsum(cfg.terrain_proportions).tolist()
 
+        selected = bool(getattr(cfg, "selected", False))
         for i in range(cfg.num_rows):
             for j in range(cfg.num_cols):
                 if cfg.curriculum:
@@ -64,7 +65,9 @@ class TerrainMap:
                     choice = rng.uniform(0, 1)
                     difficulty = rng.choice([0.5, 0.75, 0.9])
                 g = P.SubGrid(l_px, w_px, cfg.horizontal_scale, cfg.vertical_scale)
-                if style == "humanoid":
+                if selected:
+                    _selected_menu(g, rng, cfg.terrain_kwargs)
+                elif style == "humanoid":
                     _humanoid_menu(g, rng, choice, difficulty, proportions)
                 elif style == "rubble":
                     _rubble_menu(
@@ -105,6 +108,47 @@ class TerrainMap:
             num_rows=cfg.num_rows,
             num_cols=cfg.num_cols,
         )
+
+
+# name -> (primitive fn, needs rng). Keys accept both the local primitive
+# names and the reference's Isaac `terrain_utils` names ("*_terrain"), since
+# the reference's terrain_kwargs carries the latter (terrain.py:94-107 pops
+# `type` and eval()s it; here it is a plain dict lookup — no eval).
+_SELECTED_PRIMS = {
+    "random_uniform": (P.random_uniform, True),
+    "pyramid_sloped": (P.pyramid_sloped, False),
+    "pyramid_stairs": (P.pyramid_stairs, False),
+    "discrete_obstacles": (P.discrete_obstacles, True),
+    "stepping_stones": (P.stepping_stones, True),
+    "gap": (P.gap, False),
+    "pit": (P.pit, False),
+}
+
+
+def _selected_menu(g, rng, terrain_kwargs):
+    """`cfg.terrain.selected` mode (reference terrain.py:94-107): every
+    subterrain is ONE named primitive with `terrain_kwargs` as its
+    arguments. Reproduces the capability, not the reference's bugs (its
+    `eval(terrain_type)` and destructive `.pop` of a doubly-nested
+    `terrain_kwargs.terrain_kwargs`): dispatch is a dict lookup and the
+    caller's kwargs dict is copied, never mutated."""
+    kwargs = dict(terrain_kwargs or {})
+    name = kwargs.pop("type", None)
+    if not name:
+        raise ValueError(
+            "terrain.selected=True requires terrain_kwargs={'type': <name>, ...}"
+        )
+    key = name[: -len("_terrain")] if name.endswith("_terrain") else name
+    if key not in _SELECTED_PRIMS:
+        raise ValueError(
+            f"unknown selected terrain type {name!r}; "
+            f"known: {sorted(_SELECTED_PRIMS)}"
+        )
+    fn, needs_rng = _SELECTED_PRIMS[key]
+    if needs_rng:
+        fn(g, rng, **kwargs)
+    else:
+        fn(g, **kwargs)
 
 
 def _legged_menu(g, rng, choice, difficulty, prop):

@@ -105,6 +105,12 @@ def eval_policy_path(policy_path: str, rollouts: int, duration: float,
         from humanoid_gym_tpu.config.xbots import SCALE
 
         spawn_scale, cmd_scale = SCALE, SCALE ** 0.5
+        # Froude TIME also scales by sqrt(s) (ADVICE r4): at the nominal L
+        # duration the S robot would traverse ~17% more terrain cells per
+        # rollout (v ~ sqrt(s) but cells ~ s). Scaling the duration keeps
+        # the relative traversal — and hence survival odds — comparable
+        # across morphologies (protocol *_xbots_v2; v1 used nominal time).
+        duration = duration * cmd_scale
     else:
         spawn_scale, cmd_scale = 1.0, 1.0
 
@@ -161,7 +167,7 @@ def eval_policy_path(policy_path: str, rollouts: int, duration: float,
         # v4 = v3's seeded spawns + triangulated local-ground fall
         # detection + the 50%-tracking progress gate. Earlier tags:
         # spawn_v3_triangulated (no gate), spawn_v2, none.
-        "protocol": "spawn_v4_gated" + ("_xbots" if robot == "s" else ""),
+        "protocol": "spawn_v4_gated" + ("_xbots_v2" if robot == "s" else ""),
         "robot": robot,
     }
 

@@ -1,4 +1,4 @@
-"""FLOPs / bytes / MFU accounting for the headline train iteration.
+"""FLOPs / bytes / MFU accounting for the headline train iteration (CLI).
 
 Answers "what fraction of the chip does N env steps/s actually use?"
 (round-4 VERDICT item): counts the arithmetic the training iteration
@@ -7,30 +7,20 @@ applied), rollout/learn network matmuls (analytic), GAE — and the major
 HBM flows, then divides by the measured iteration time against the
 chip's peaks.
 
-The physics kernel is VPU work (batched tiny-matrix algebra, env-on-
-lanes), so it can never approach the MXU peak by construction; the
-honest utilization statement has three axes:
-  - MFU        = total FLOPs / (iter_time * MXU bf16 peak)   [standard]
-  - VPU util   = VPU FLOPs / (iter_time * VPU f32 peak)
-  - HBM util   = bytes moved / (iter_time * HBM bandwidth)
-
-Peaks (TPU v5e, public spec): 197 TFLOP/s bf16 MXU, ~3.9 TFLOP/s f32
-VPU (8 sublanes x 128 lanes x 4 ALUs x ~0.94 GHz, FMA = 2 FLOP), HBM
-819 GB/s.
+The census itself lives in `humanoid_gym_tpu.utils.roofline` (round 5):
+`bench.py` imports the same functions at bench time, so the CLI and the
+bench MFU field agree by construction.
 
 Usage:
   JAX_PLATFORMS=cpu python scripts/roofline.py [--iter-ms 226] \
       [--envs 4096] [--terrain]
 With no --iter-ms, prints the census only (CPU-safe; nothing runs on
-TPU). The counted totals are embedded in bench.py's MFU field — rerun
-this after kernel changes and update the constant there.
+TPU).
 """
 
 import argparse
-import math
 import os
 import sys
-from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -38,163 +28,15 @@ from humanoid_gym_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
 
-# primitives counted as arithmetic (1 FLOP per output element; FMA-style
-# fusion is the compiler's business — this is the *algorithmic* count)
-_ARITH = {
-    "add", "sub", "mul", "div", "neg", "max", "min", "exp", "log", "sqrt",
-    "rsqrt", "sin", "cos", "tanh", "abs", "sign", "floor", "integer_pow",
-    "select_n", "clamp", "logistic",
-}
-
-MXU_BF16_PEAK = 197e12
-VPU_F32_PEAK = 3.9e12
-HBM_BW = 819e9
-
-
-def _flops_of(jaxpr, loop_trips):
-    """Walk a jaxpr; arithmetic FLOPs with while-loop bodies multiplied by
-    the trip counts in `loop_trips` (outermost first)."""
-    total = 0
-
-    def walk(jx, depth):
-        nonlocal total
-        for eq in jx.eqns:
-            subs = []
-            for p in eq.params.values():
-                if hasattr(p, "jaxpr"):
-                    subs.append(p.jaxpr if hasattr(p.jaxpr, "eqns") else p)
-                elif hasattr(p, "eqns"):
-                    subs.append(p)
-            if eq.primitive.name == "while":
-                trip = loop_trips[depth] if depth < len(loop_trips) else 1
-                before = total
-                for s in subs:
-                    walk(s if hasattr(s, "eqns") else s.jaxpr, depth + 1)
-                total = before + (total - before) * trip
-            elif subs:
-                for s in subs:
-                    walk(s if hasattr(s, "eqns") else s.jaxpr, depth)
-            elif eq.primitive.name in _ARITH:
-                for ov in eq.outvars:
-                    total += int(math.prod(ov.aval.shape) or 1)
-    walk(jaxpr, 0)
-    return total
-
-
-def physics_flops_per_step(envs, terrain=False, decimation=10, iterations=8):
-    """FLOPs of ONE policy step of physics (kernel jaxpr, all substeps)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from humanoid_gym_tpu.physics import mega_kernel as mk
-    from humanoid_gym_tpu.physics.model import build_xbot_model
-
-    m = build_xbot_model()
-    KP = jnp.asarray(
-        [200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15], jnp.float32
-    )
-    sm = mk._StaticModel(m, KP, jnp.full(12, 10.0), np.asarray(m.dof_effort) * 0.85)
-    packed = jnp.zeros((mk.TILE_ENVS, mk.IN_ROWS))
-    f = partial(
-        mk._mega_call, sm=sm, dt=0.001, decimation=decimation,
-        iterations=iterations, contact_offset=0.01, max_depen_vel=1.0,
-        interpret=True, terrain=None,
-    )
-    jaxpr = jax.make_jaxpr(lambda p: f(p, None))(packed)
-    # one tile of 128 envs; outer while = decimation, inner = APGD iters
-    per_tile = _flops_of(jaxpr.jaxpr, (decimation, iterations))
-    return per_tile * (envs / mk.TILE_ENVS)
-
-
-def physics_vregs_per_step(envs, decimation=10, iterations=8):
-    """Vector-register ops of ONE policy step: every kernel eqn weighted by
-    its output (8,128)-tile count, loop trips applied. This — not FLOPs —
-    is what the issue-bound kernel's runtime tracks: a lane-scalar (128,)
-    value occupies a full vreg issue slot at 1/8 useful elements."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from humanoid_gym_tpu.physics import mega_kernel as mk
-    from humanoid_gym_tpu.physics.model import build_xbot_model
-
-    m = build_xbot_model()
-    KP = jnp.asarray(
-        [200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15], jnp.float32
-    )
-    sm = mk._StaticModel(m, KP, jnp.full(12, 10.0), np.asarray(m.dof_effort) * 0.85)
-    packed = jnp.zeros((mk.TILE_ENVS, mk.IN_ROWS))
-    f = partial(
-        mk._mega_call, sm=sm, dt=0.001, decimation=decimation,
-        iterations=iterations, contact_offset=0.01, max_depen_vel=1.0,
-        interpret=True, terrain=None,
-    )
-    jaxpr = jax.make_jaxpr(lambda p: f(p, None))(packed)
-    total = 0
-
-    def vregs(shape):
-        if not shape:
-            return 1
-        lanes = shape[-1]
-        subl = shape[-2] if len(shape) >= 2 else 1
-        outer = math.prod(shape[:-2]) if len(shape) > 2 else 1
-        return outer * math.ceil(subl / 8) * math.ceil(lanes / 128)
-
-    def walk(jx, depth):
-        nonlocal total
-        trips = (decimation, iterations)
-        for eq in jx.eqns:
-            subs = []
-            for p in eq.params.values():
-                if hasattr(p, "jaxpr"):
-                    subs.append(p.jaxpr if hasattr(p.jaxpr, "eqns") else p)
-                elif hasattr(p, "eqns"):
-                    subs.append(p)
-            if eq.primitive.name == "while":
-                trip = trips[depth] if depth < len(trips) else 1
-                before = total
-                for s in subs:
-                    walk(s if hasattr(s, "eqns") else s.jaxpr, depth + 1)
-                total = before + (total - before) * trip
-            elif subs:
-                for s in subs:
-                    walk(s if hasattr(s, "eqns") else s.jaxpr, depth)
-            else:
-                for ov in eq.outvars:
-                    total += vregs(getattr(ov.aval, "shape", ()))
-    walk(jaxpr.jaxpr, 0)
-    return total * (envs / mk.TILE_ENVS)
-
-
-def net_flops(envs, T=60, epochs=2, minibatches=4):
-    """Actor/critic matmul FLOPs (logical, unpadded): rollout fwd + learn
-    fwd+bwd (bwd = 2x fwd)."""
-    actor = 705 * 512 + 512 * 256 + 256 * 128 + 128 * 12
-    critic = 219 * 768 + 768 * 256 + 256 * 128 + 128 * 1
-    per_sample_fwd = 2 * (actor + critic)  # MAC = 2 FLOP
-    batch = envs * T
-    rollout = batch * per_sample_fwd
-    learn = batch * epochs * per_sample_fwd * 3  # fwd + bwd(2x)
-    return rollout, learn
-
-
-def hbm_bytes(envs, T=60, terrain=False):
-    """Major per-iteration HBM flows (bytes), both directions counted."""
-    batch = envs * T
-    vec = 705 + 219 + 12 * 3  # rollout vector row
-    flows = {
-        "rollout storage write": batch * (vec + 4) * 4,
-        "perm gathers (read+write)": 2 * batch * (vec + 4) * 4,
-        "learn minibatch reads (2 epochs)": 2 * batch * (vec + 4) * 4,
-        "kernel in/out tiles (60 launches)": (
-            T * (envs / 128) * (120 + 304 + 136) * 128 * 4
-        ),
-    }
-    if terrain:
-        # two (48,128) f32 window gathers per step (patches + probe)
-        flows["terrain window gathers"] = 2 * T * envs * 48 * 128 * 4 * 2
-    return flows
+from humanoid_gym_tpu.utils.roofline import (  # noqa: E402
+    HBM_BW,
+    MXU_BF16_PEAK,
+    VPU_F32_PEAK,
+    hbm_bytes,
+    net_flops,
+    physics_flops_per_step,
+    physics_vregs_per_step,
+)
 
 
 def main():

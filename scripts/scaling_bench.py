@@ -195,8 +195,16 @@ def spawn_pinned_sweep(args):
             continue
         st = json.loads(line[-1][len("PINNED "):])
         if base is None:
-            base = st["steps_per_sec"]
-        st["scaling_efficiency"] = round(st["steps_per_sec"] / (base * n), 4)
+            # normalize by per-device throughput of the FIRST SUCCESSFUL
+            # point (base_n may be >1 if n=1 failed), so efficiency stays
+            # relative to an actual measurement rather than assuming the
+            # baseline was 1 device (ADVICE r4)
+            base, base_n = st["steps_per_sec"], n
+        st["scaling_efficiency"] = round(
+            st["steps_per_sec"] / (base / base_n * n), 4
+        )
+        if base_n != 1:
+            st["efficiency_baseline_devices"] = base_n
         points.append(st)
         print(json.dumps(st), flush=True)
     return points

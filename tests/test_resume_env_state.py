@@ -90,3 +90,44 @@ def test_env_state_skipped_on_shape_mismatch(tmp_path, capsys):
     assert np.asarray(run_c.env_state.phys.qpos).shape == qpos_c.shape
     # params DID load
     assert run_c.current_learning_iteration == run_a.current_learning_iteration
+
+
+@pytest.mark.slow
+def test_ckpt_records_and_honors_compute_dtype(tmp_path, capsys):
+    """Checkpoints pin the RESOLVED net compute dtype (ADVICE r4): a run
+    trained under one resolution must not silently continue under another
+    when 'auto' resolves differently on the loading backend."""
+    from humanoid_gym_tpu.envs import make_env
+    from humanoid_gym_tpu.runner import OnPolicyRunner
+
+    cfg, tcfg = _tiny_terrain_cfgs()
+    env = make_env(cfg)
+    run_a = OnPolicyRunner(env, tcfg, log_dir=str(tmp_path / "a"), seed=5)
+    run_a.learn(1)
+    ckpt = sorted(glob.glob(str(tmp_path / "a" / "model_*.ckpt")))[-1]
+
+    from flax import serialization
+
+    with open(ckpt, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    # on CPU "auto" resolves to float32 and the ckpt records it
+    assert payload["compute_dtype"] == "float32"
+
+    # simulate a ckpt trained where auto resolved the OTHER way
+    run_b = OnPolicyRunner(env, tcfg, log_dir=None, seed=1)
+    run_b._honor_ckpt_dtype("bfloat16")
+    assert run_b.net.compute_dtype == "bfloat16"  # honored: auto config
+
+    # an explicit per-task pin wins over the recorded dtype
+    tcfg2 = _tiny_terrain_cfgs()[1]
+    tcfg2.policy.compute_dtype = "float32"
+    run_c = OnPolicyRunner(env, tcfg2, log_dir=None, seed=1)
+    run_c._honor_ckpt_dtype("bfloat16")
+    assert run_c.net.compute_dtype == "float32"
+    assert "WARNING" in capsys.readouterr().out
+
+    # matching dtype: no rebuild
+    run_d = OnPolicyRunner(env, tcfg, log_dir=None, seed=1)
+    it = run_d._train_iter
+    run_d._honor_ckpt_dtype("float32")
+    assert run_d._train_iter is it

@@ -269,3 +269,53 @@ def test_tile_height_fn_matches_height_fn():
     want = jax.vmap(lambda a, b: ref(a, b))(qx, qy)
     got = jax.vmap(lambda c, d, a, b: tile(c, d, a, b))(cx, cy, qx, qy)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_selected_terrain_stairs_end_to_end():
+    """`selected` mode (reference terrain.py:94-107): every subterrain is
+    the ONE named primitive, with terrain_kwargs applied and not mutated."""
+    cfg = _small_cfg()
+    cfg.curriculum = False
+    cfg.selected = True
+    cfg.terrain_kwargs = {
+        "type": "pyramid_stairs_terrain",
+        "step_width": 0.4,
+        "step_height": 0.1,
+        "platform_size": 1.0,
+    }
+    kwargs_before = dict(cfg.terrain_kwargs)
+    tmap = TerrainMap.build(cfg, np.random.default_rng(0))
+    assert cfg.terrain_kwargs == kwargs_before  # non-destructive
+    l_px = int(cfg.terrain_length / cfg.horizontal_scale)
+    w_px = int(cfg.terrain_width / cfg.horizontal_scale)
+    border = int(cfg.border_size / cfg.horizontal_scale)
+    # every subterrain is the SAME deterministic stairs patch
+    first = tmap.height_field[border : border + l_px, border : border + w_px]
+    for i in range(cfg.num_rows):
+        for j in range(cfg.num_cols):
+            x0, y0 = border + i * l_px, border + j * w_px
+            np.testing.assert_array_equal(
+                tmap.height_field[x0 : x0 + l_px, y0 : y0 + w_px], first
+            )
+    # stairs actually rise: center platform above the flat rim
+    assert first[l_px // 2, w_px // 2] >= int(0.1 / cfg.vertical_scale)
+    assert first[0, 0] == 0
+    # the height_fn sees the same surface
+    import jax.numpy as jnp
+
+    h = make_height_fn(tmap)(
+        jnp.asarray([cfg.terrain_length / 2]), jnp.asarray([cfg.terrain_width / 2])
+    )
+    assert float(h[0]) > 0.05
+
+
+def test_selected_terrain_rejects_unknown_type():
+    cfg = _small_cfg()
+    cfg.selected = True
+    cfg.terrain_kwargs = {"type": "nonexistent_terrain"}
+    try:
+        TerrainMap.build(cfg, np.random.default_rng(0))
+    except ValueError as e:
+        assert "nonexistent_terrain" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
