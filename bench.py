@@ -92,6 +92,14 @@ def main():
     # number (docs/PERFORMANCE.md). The default headline path is unchanged.
     task = os.environ.get("HGT_BENCH_TASK")
 
+    # HGT_BENCH_MESH=N: run the identical program a pod runs — env axis
+    # sharded over an N-device jax.sharding.Mesh with the pallas solvers
+    # dispatched through shard_map (forced even at N=1, so real Mosaic
+    # executes under shard_map on the single available chip; round-5
+    # VERDICT #3: this code path had only ever run in interpret mode on
+    # CPU meshes before).
+    mesh_n = int(os.environ.get("HGT_BENCH_MESH", "0"))
+
     def run_with_solver(solver):
         if task:
             from humanoid_gym_tpu import registry
@@ -130,6 +138,23 @@ def main():
         state = jax.jit(env.init_state)(keys, jnp.arange(num_envs))
         obs = jnp.zeros((num_envs, cfg.env.num_observations))
         priv = jnp.zeros((num_envs, cfg.env.num_privileged_obs))
+
+        if mesh_n:
+            from humanoid_gym_tpu.parallel.mesh import (
+                make_env_mesh, replicate, shard_env_axis,
+            )
+            from humanoid_gym_tpu.physics.pallas_solver import set_solver_mesh
+
+            devs = jax.devices()[:mesh_n]
+            assert len(devs) == mesh_n, (
+                f"HGT_BENCH_MESH={mesh_n} but only {len(jax.devices())} devices"
+            )
+            mesh = make_env_mesh(devs)
+            set_solver_mesh(mesh, force=True)
+            state = shard_env_axis(state, mesh)
+            obs = shard_env_axis(obs, mesh)
+            priv = shard_env_axis(priv, mesh)
+            ts = replicate(ts, mesh)
 
         train_iter = jax.jit(
             make_train_iter(env, net, algo_cfg, num_envs), donate_argnums=(0, 1)
@@ -184,7 +209,8 @@ def main():
     print(
         f"# bench: {num_envs} envs, T={T}, solver={solver}, iter_time {dt:.3f}s, "
         f"compile {compile_s:.1f}s, device={jax.devices()[0].platform}"
-        + (f", task={task}" if task else ""),
+        + (f", task={task}" if task else "")
+        + (f", mesh={mesh_n} (shard_map dispatch)" if mesh_n else ""),
         file=sys.stderr,
     )
     out = {
@@ -196,6 +222,8 @@ def main():
         # distinguishable from a perf regression in the JSON record
         "solver": solver,
     }
+    if mesh_n:
+        out["mesh_devices"] = mesh_n
     if not task:
         # vs_baseline only for the flat headline task: NOMINAL_REFERENCE_FPS
         # is the flat XBot-L figure, so dividing a terrain/joint task's fps

@@ -40,9 +40,17 @@ ENV_TILE = 128
 _SOLVER_MESH = None
 
 
-def set_solver_mesh(mesh) -> None:
+def set_solver_mesh(mesh, force: bool = False) -> None:
+    """Install the ambient mesh for pallas solver dispatch. Size-1 meshes
+    are ignored by default (plain vmap dispatch is equivalent and cheaper
+    to trace); `force=True` installs them anyway so a single chip can run
+    the IDENTICAL shard_map-dispatched program a pod runs (bench.py
+    HGT_BENCH_MESH; round-5 VERDICT #3)."""
     global _SOLVER_MESH
-    _SOLVER_MESH = mesh if mesh is not None and mesh.size > 1 else None
+    if mesh is not None and (mesh.size > 1 or force):
+        _SOLVER_MESH = mesh
+    else:
+        _SOLVER_MESH = None
 
 
 def get_solver_mesh():
