@@ -70,6 +70,17 @@ class TerrainCfg:
     # rubble-style amplitude ramp: cell height ~ U[0, base + span*difficulty]
     rubble_base: float = 0.05
     rubble_span: float = 0.30
+    # EXTENSION: MJCF whose hfield the "deploy" style samples windows from
+    # (None = the shipped XBot-L deployment terrain). A Froude-scaled
+    # morphology points this at its scaled terrain model.
+    deploy_mjcf: Optional[str] = None
+    # EXTENSION: Froude length scale applied to every menu HEIGHT amplitude
+    # at map-build time (slopes are dimensionless and stay). Lets a scaled
+    # morphology (XBot-S, config/xbots.py) train on terrain whose relative
+    # difficulty matches what the full-size robot sees, even when task
+    # recipes set absolute amplitudes (e.g. rubble_base=0.12) after the
+    # robot config ran. 1.0 = reference behavior.
+    froude_scale: float = 1.0
     # EXTENSION: curriculum promotion rule. "distance" is the reference's
     # frozen formula (promote when walked > terrain_length/2 — which caps
     # exposure at the amplitude the policy can WALK). "survival" promotes

@@ -52,6 +52,19 @@ def XBotSCfg() -> B.LeggedRobotCfg:
     r.lin_vel_x = [v * _SQ for v in r.lin_vel_x]
     r.lin_vel_y = [v * _SQ for v in r.lin_vel_y]
 
+    # terrain x s (round 5, VERDICT #4): menu HEIGHT amplitudes scale at
+    # map-build time so the S half of joint training faces the same
+    # RELATIVE footing difficulty as L even when task recipes set
+    # absolute amplitudes afterward (terrain/terrain.py froude_scale),
+    # and the deploy-style menu samples the Froude-scaled deployment
+    # field (XBot-S-terrain.xml) instead of the full-size one. Before
+    # this, S trained on unscaled L terrain (1.37x relative amplitude)
+    # with no morphology-consistent curriculum signal of its own.
+    cfg.terrain.froude_scale = s
+    from .. import XBOT_S_TERRAIN_MJCF
+
+    cfg.terrain.deploy_mjcf = XBOT_S_TERRAIN_MJCF
+
     # pushes x sqrt(s)
     cfg.domain_rand.max_push_vel_xy *= _SQ
     # base-mass DR x s^3 (same relative range)

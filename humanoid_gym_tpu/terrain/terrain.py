@@ -53,6 +53,13 @@ class TerrainMap:
         proportions = np.cumsum(cfg.terrain_proportions).tolist()
 
         selected = bool(getattr(cfg, "selected", False))
+        # Froude HEIGHT-amplitude scale (config/base.py froude_scale):
+        # menu height constants multiply by fs at synthesis time; slopes
+        # are dimensionless and horizontal extents stay (they set exposure
+        # per episode, which the command/time scaling already matches).
+        # `selected` mode passes user kwargs through verbatim (explicit
+        # absolute geometry is the point of that mode).
+        fs = float(getattr(cfg, "froude_scale", 1.0))
         for i in range(cfg.num_rows):
             for j in range(cfg.num_cols):
                 if cfg.curriculum:
@@ -68,12 +75,13 @@ class TerrainMap:
                 if selected:
                     _selected_menu(g, rng, cfg.terrain_kwargs)
                 elif style == "humanoid":
-                    _humanoid_menu(g, rng, choice, difficulty, proportions)
+                    _humanoid_menu(g, rng, choice, difficulty, proportions, fs)
                 elif style == "rubble":
                     _rubble_menu(
                         g, rng, choice, difficulty, proportions,
-                        base=getattr(cfg, "rubble_base", 0.05),
-                        span=getattr(cfg, "rubble_span", 0.30),
+                        base=getattr(cfg, "rubble_base", 0.05) * fs,
+                        span=getattr(cfg, "rubble_span", 0.30) * fs,
+                        fs=fs,
                     )
                 elif style == "deploy":
                     _deploy_menu(
@@ -81,9 +89,10 @@ class TerrainMap:
                         mjcf=getattr(cfg, "deploy_mjcf", None),
                         base=getattr(cfg, "rubble_base", 0.05),
                         span=getattr(cfg, "rubble_span", 0.30),
+                        fs=fs,
                     )
                 else:
-                    _legged_menu(g, rng, choice, difficulty, proportions)
+                    _legged_menu(g, rng, choice, difficulty, proportions, fs)
                 x0 = border + i * l_px
                 y0 = border + j * w_px
                 hf[x0 : x0 + l_px, y0 : y0 + w_px] = g.hf
@@ -151,15 +160,16 @@ def _selected_menu(g, rng, terrain_kwargs):
         fn(g, **kwargs)
 
 
-def _legged_menu(g, rng, choice, difficulty, prop):
-    """Base Terrain menu (reference terrain.py:109-145)."""
+def _legged_menu(g, rng, choice, difficulty, prop, fs=1.0):
+    """Base Terrain menu (reference terrain.py:109-145). fs scales the
+    height amplitudes (Froude; slopes and horizontal extents stay)."""
     slope = difficulty * 0.4
-    step_height = 0.05 + 0.18 * difficulty
-    obstacle_h = 0.05 + difficulty * 0.2
+    step_height = (0.05 + 0.18 * difficulty) * fs
+    obstacle_h = (0.05 + difficulty * 0.2) * fs
     stone_size = 1.5 * (1.05 - difficulty)
     stone_dist = 0.05 if difficulty == 0 else 0.1
     gap_size = 1.0 * difficulty
-    pit_depth = 1.0 * difficulty
+    pit_depth = 1.0 * difficulty * fs
     prop = prop + [1.0] * (7 - len(prop))
     if choice < prop[0]:
         if choice < prop[0] / 2:
@@ -167,7 +177,9 @@ def _legged_menu(g, rng, choice, difficulty, prop):
         P.pyramid_sloped(g, slope=slope, platform_size=3.0)
     elif choice < prop[1]:
         P.pyramid_sloped(g, slope=slope, platform_size=3.0)
-        P.random_uniform(g, rng, -0.05, 0.05, step=0.005, downsampled_scale=0.2)
+        P.random_uniform(
+            g, rng, -0.05 * fs, 0.05 * fs, step=0.005, downsampled_scale=0.2
+        )
     elif choice < prop[3]:
         if choice < prop[2]:
             step_height = -step_height
@@ -182,7 +194,8 @@ def _legged_menu(g, rng, choice, difficulty, prop):
         P.pit(g, depth=pit_depth, platform_size=4.0)
 
 
-def _rubble_menu(g, rng, choice, difficulty, prop, base=0.05, span=0.30):
+def _rubble_menu(g, rng, choice, difficulty, prop, base=0.05, span=0.30,
+                 fs=1.0):
     """Deployment-matched coarse unevenness (EXTENSION, no reference
     analog): the MuJoCo sim2sim terrain (uneven.png hfield,
     XBot-L-terrain.xml) is a 1 m grid of random heights in [0, 0.35] m,
@@ -191,9 +204,10 @@ def _rubble_menu(g, rng, choice, difficulty, prop, base=0.05, span=0.30):
     family: coarse random cells whose amplitude grows with curriculum
     difficulty, plus a slice of the gentle humanoid roughness so the
     baseline gait keeps training. prop[0] of the columns stay gentle;
-    the rest are rubble."""
+    the rest are rubble. Caller pre-scales base/span by the Froude factor;
+    fs scales the gentle slice."""
     if choice < prop[0]:
-        r_height = difficulty * 0.07
+        r_height = difficulty * 0.07 * fs
         P.random_uniform(g, rng, -r_height, r_height, step=0.005,
                          downsampled_scale=0.2)
     else:
@@ -240,13 +254,19 @@ def _load_deploy_field(mjcf_path: str):
 
 
 def _deploy_menu(g, rng, choice, difficulty, prop, mjcf=None, base=0.05,
-                 span=0.30):
+                 span=0.30, fs=1.0):
     """Deployment-matched terrain (EXTENSION): random windows of the ACTUAL
     MuJoCo sim2sim heightfield (uneven.png), bilinearly upsampled to the
     training grid, amplitude ramped with curriculum difficulty. prop[0] of
-    the columns stay gentle reference-style roughness (gait quality)."""
+    the columns stay gentle reference-style roughness (gait quality).
+
+    Froude note: window heights take their absolute scale from the FIELD
+    (a scaled morphology must point `deploy_mjcf` at its scaled terrain
+    model, e.g. XBot-S-terrain.xml); the (base + span*difficulty)/0.35
+    amplitude ramp is a fraction and is scale-invariant. Only the gentle
+    slice's absolute roughness takes fs directly."""
     if choice < prop[0]:
-        r_height = difficulty * 0.07
+        r_height = difficulty * 0.07 * fs
         P.random_uniform(g, rng, -r_height, r_height, step=0.005,
                          downsampled_scale=0.2)
         return
@@ -288,10 +308,11 @@ def _deploy_menu(g, rng, choice, difficulty, prop, mjcf=None, base=0.05,
     g.hf[:, :] = np.round(win * amp / g.vertical_scale).astype(np.int16)
 
 
-def _humanoid_menu(g, rng, choice, difficulty, prop):
-    """HumanoidTerrain menu (reference terrain.py:203-231)."""
-    obstacle_h = difficulty * 0.04
-    r_height = difficulty * 0.07
+def _humanoid_menu(g, rng, choice, difficulty, prop, fs=1.0):
+    """HumanoidTerrain menu (reference terrain.py:203-231). fs scales the
+    height amplitudes (Froude; the slope is dimensionless and stays)."""
+    obstacle_h = difficulty * 0.04 * fs
+    r_height = difficulty * 0.07 * fs
     h_slope = difficulty * 0.15
     prop = prop + [1.0] * (7 - len(prop))
     if choice < prop[0]:

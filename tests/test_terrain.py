@@ -319,3 +319,39 @@ def test_selected_terrain_rejects_unknown_type():
         assert "nonexistent_terrain" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_froude_scale_scales_menu_heights():
+    """froude_scale (config/base.py) multiplies menu HEIGHT amplitudes at
+    build time — the S half of joint training must face the same RELATIVE
+    footing difficulty as L (round-5 VERDICT #4). Slopes stay."""
+    s = 1.2 / 1.65
+    base = _small_cfg()
+    base.style = "rubble"
+    base.curriculum = True
+    tm_l = TerrainMap.build(base, np.random.default_rng(0))
+    scaled = _small_cfg()
+    scaled.style = "rubble"
+    scaled.curriculum = True
+    scaled.froude_scale = s
+    tm_s = TerrainMap.build(scaled, np.random.default_rng(0))
+    # same rng stream, same cells chosen; heights scale by ~s (int16
+    # rounding of each draw)
+    hl = tm_l.height_field.astype(np.float64)
+    hs = tm_s.height_field.astype(np.float64)
+    nz = np.abs(hl) > 8  # ignore tiny cells dominated by rounding
+    assert nz.any()
+    ratio = hs[nz] / hl[nz]
+    assert abs(np.median(ratio) - s) < 0.05
+    # default 1.0 is bit-identical to the unscaled build
+    again = TerrainMap.build(base, np.random.default_rng(0))
+    np.testing.assert_array_equal(again.height_field, tm_l.height_field)
+
+
+def test_xbots_cfg_points_deploy_at_scaled_field():
+    from humanoid_gym_tpu import XBOT_S_TERRAIN_MJCF
+    from humanoid_gym_tpu.config.xbots import SCALE, XBotSCfg
+
+    cfg = XBotSCfg()
+    assert abs(cfg.terrain.froude_scale - SCALE) < 1e-9
+    assert cfg.terrain.deploy_mjcf == XBOT_S_TERRAIN_MJCF
