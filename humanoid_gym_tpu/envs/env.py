@@ -168,7 +168,21 @@ class HumanoidEnv:
             from ..terrain.terrain import make_tile_height_fn
 
             if terrain_height_fn is not _flat:
-                self._tile_height = make_tile_height_fn(terrain_map)
+                # probes sit on the base within max||offset|| of its
+                # origin, so a short-reach (small-row) tile family
+                # suffices — half the gather bytes of the contact path's
+                # 1.6 m window (terrain.make_tile_gather picks the tile)
+                import numpy as _np
+
+                offs = _np.asarray(m.probe_point_offset)
+                preach = (
+                    float(_np.linalg.norm(offs, axis=1).max()) + 0.25
+                    if offs.size
+                    else 0.65
+                )
+                self._tile_height = make_tile_height_fn(
+                    terrain_map, reach_m=max(preach, 0.5)
+                )
 
         # reward pipeline: nonzero scales, premultiplied by dt
         # (reference legged_robot.py:518-537)
@@ -278,12 +292,20 @@ class HumanoidEnv:
         ref = ref.at[8].set(sin_r * s1).at[9].set(sin_r * s2).at[10].set(sin_r * s1)
         return jnp.where(jnp.abs(sin_pos) < 0.1, 0.0, ref)
 
-    def _probe_flags(self, phys, kfk=None):
+    def _probe_flags(self, phys, kfk=None, win_center=None):
         """Penetration flags per termination/penalized body (geometric
         equivalent of reference contact-force checks legged_robot.py:159,
         humanoid_env.py:528). When every probe body is the base (XBot-L/S),
         probe points need only the base pose — no FK; otherwise the caller
-        passes the XLA fk() result."""
+        passes the XLA fk() result.
+
+        win_center (round 5): world xy to key the tile window on. The
+        caller passes the PRE-step base xy — the same node the mega
+        kernel's patch builder keys its window on — so XLA CSEs the two
+        (BR, BC) gathers into one per step. Tap values are unchanged:
+        probes lie within ~0.4 m of the base and the base moves < 2 cm
+        per policy step, far inside the 1.6 m window guarantee (an env
+        moving >1 m in 10 ms is exploded and auto-resets anyway)."""
         if len(self._probe_body) == 0:
             z = jnp.zeros(max(len(self._term_bodies), 1), bool)
             return z, z
@@ -303,9 +325,12 @@ class HumanoidEnv:
         if self._tile_height is not None:
             # same 3-tap-min values, one tile gather (probes are always
             # within the tile reach of the base)
-            h = self._tile_height(
-                phys.qpos[0], phys.qpos[1], pos[:, 0], pos[:, 1]
+            cx, cy = (
+                (win_center[0], win_center[1])
+                if win_center is not None
+                else (phys.qpos[0], phys.qpos[1])
             )
+            h = self._tile_height(cx, cy, pos[:, 0], pos[:, 1])
         else:
             h = self.terrain_height_fn(pos[:, 0], pos[:, 1])
         gap = pos[:, 2] - h

@@ -728,6 +728,28 @@ def _build_mega_kernel(
                     )
             return R0, R_pr, p_pr, axw_pr, omg_pr, alp_pr, vo_pr, ao_pr
 
+        # sloped contact frames (t1, t2, n) with n = normalize(-dh/dx,
+        # -dh/dy, 1) — PhysX-trimesh-normal capability analog. The slope
+        # rows are LAUNCH constants (step-start gather), so the frames are
+        # computed ONCE here instead of per substep (round 5: ~30 (K,)+LS
+        # vector ops x 9 redundant substeps saved per launch).
+        frames0 = None
+        if terrain:
+            _K = N_POINTS
+            _gx = in2[IN2_GX : IN2_GX + _K]
+            _gy = in2[IN2_GY : IN2_GY + _K]
+            _n_inv = jax.lax.rsqrt(_gx * _gx + _gy * _gy + 1.0)
+            _n_d = (-_gx * _n_inv, -_gy * _n_inv, _n_inv)
+            _t1_inv = jax.lax.rsqrt(_n_d[2] * _n_d[2] + _n_d[0] * _n_d[0])
+            _zK = jnp.zeros((_K,) + LS, f32)
+            _t1_d = (_n_d[2] * _t1_inv, _zK, -_n_d[0] * _t1_inv)
+            _t2_d = (  # n x t1 (t1_y = 0)
+                _n_d[1] * _t1_d[2],
+                _n_d[2] * _t1_d[0] - _n_d[0] * _t1_d[2],
+                -_n_d[1] * _t1_d[0],
+            )
+            frames0 = (_n_d, _t1_d, _t2_d)
+
         def substep(_, carry):
             st = st_s[...]
             pos0 = (st[0], st[1], st[2])
@@ -1113,22 +1135,9 @@ def _build_mega_kernel(
                 h_hi = ohu0 * hy[1] + ohu1 * hy[2]
                 ground = (1.0 - fu) * h_lo + fu * h_hi
                 phi = Xz_abs - ground
-                # sloped contact frames from the step-start terrain slope
-                # (PhysX-trimesh-normal capability analog): rows of each
-                # point's 3 constraint directions are (t1, t2, n) with
-                # n = normalize(-dh/dx, -dh/dy, 1); penetration is measured
-                # along the normal (vertical gap x n_z)
-                gx = in2[IN2_GX : IN2_GX + K]
-                gy = in2[IN2_GY : IN2_GY + K]
-                n_inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
-                n_d = (-gx * n_inv, -gy * n_inv, n_inv)
-                t1_inv = jax.lax.rsqrt(n_d[2] * n_d[2] + n_d[0] * n_d[0])
-                t1_d = (n_d[2] * t1_inv, zK, -n_d[0] * t1_inv)
-                t2_d = (  # n x t1 (t1_y = 0)
-                    n_d[1] * t1_d[2],
-                    n_d[2] * t1_d[0] - n_d[0] * t1_d[2],
-                    -n_d[1] * t1_d[0],
-                )
+                # sloped contact frames: hoisted before the decimation
+                # loop (slope rows are launch-constant) — see frames0
+                n_d, t1_d, t2_d = frames0
                 phi = phi * n_d[2]
             else:
                 phi = Xz_abs  # flat plane: ground height 0, identity frames
@@ -1552,12 +1561,16 @@ def make_mega_step_batched(
 
         _win_fn, (_RN, BR, BC) = make_tile_gather(terrain_map, reach_m=1.6)
         WR, WC = BR, BC
-        _hi = jax.lax.Precision.HIGHEST
+        # HIGH (3-pass bf16) is exact on the raw integer tile — see
+        # terrain.make_tile_gather; HIGHEST (6-pass f32) doubled the cost
+        _hi = jax.lax.Precision.HIGH
 
         # specialized leg-chain contact XY (round 4): replaces the
         # vmap(fk)-based path, whose (N, 13, 3, 3) stacking/copies were
         # 60-90 ms of the terrain iteration (same math, elementwise)
         _contact_xy_b = make_contact_xy_batched(sm, model)
+
+        _vs = float(terrain_map.vertical_scale)
 
         def terrain_patches(qpos, sbias):  # (N, nq), (N, 2) -> (N, IN2 rows)
             xy = _contact_xy_b(qpos)  # (N, K, 2)
@@ -1586,20 +1599,36 @@ def make_mega_step_batched(
             ic = jnp.arange(WC)
             rx = jnp.clip(ox - bx[:, None], 0, WR - 3)
             ry = jnp.clip(oy - by[:, None], 0, WC - 3)
+            # ONE stacked one-hot row selection for all five row sets —
+            # the 3 patch offsets AND the 2 gradient-tap rows (round 5:
+            # five (N,K,WR)x(N,WR,WC) batched matmuls were five separate
+            # MXU dispatch chains; one (N,5K,WR) einsum is one). The raw
+            # integer tile + Precision.HIGH selection is exact, and every
+            # tap is scaled by vertical_scale AFTER selection — the same
+            # f32 product a pre-scaled tile stored, so tap values remain
+            # bit-identical to direct grid gathers (terrain.py
+            # make_tile_gather).
+            r0 = jnp.clip(px - bx[:, None], 0, WR - 2)
+            c0 = jnp.clip(py - by[:, None], 0, WC - 2)
             rowOH = [
                 (iw == (rx + i)[..., None]).astype(jnp.float32) for i in range(3)
-            ]
-            colOH = [
-                (ic == (ry + j)[..., None]).astype(jnp.float32) for j in range(3)
             ]
             tmp = [
                 jnp.einsum("nkw,nwv->nkv", rowOH[i], win, precision=_hi)
                 for i in range(3)
             ]
+            K = px.shape[1]
+            colOH = [
+                (ic == (ry + j)[..., None]).astype(jnp.float32) for j in range(3)
+            ]
             # tap-major rows ((ii*3+jj)*K + kk) so the kernel's STACKED
             # lookup slices one contiguous (K,)+LS row block per tap
             patch = jnp.concatenate(
-                [jnp.sum(tmp[i] * colOH[j], axis=-1) for i in range(3) for j in range(3)],
+                [
+                    jnp.sum(tmp[i] * colOH[j], axis=-1) * _vs
+                    for i in range(3)
+                    for j in range(3)
+                ],
                 axis=-1,
             )  # (N, 9*K)
 
@@ -1607,18 +1636,16 @@ def make_mega_step_batched(
             # bilinear-cell gradient formula as terrain.make_grad_fn (one
             # definition across every solver path; taps from the window),
             # plus the contact-slope DR bias
-            r0 = jnp.clip(px - bx[:, None], 0, WR - 2)
-            c0 = jnp.clip(py - by[:, None], 0, WC - 2)
             rOH0 = (iw == r0[..., None]).astype(jnp.float32)
             rOH1 = (iw == (r0 + 1)[..., None]).astype(jnp.float32)
-            cOH0 = (ic == c0[..., None]).astype(jnp.float32)
-            cOH1 = (ic == (c0 + 1)[..., None]).astype(jnp.float32)
             t0 = jnp.einsum("nkw,nwv->nkv", rOH0, win, precision=_hi)
             t1 = jnp.einsum("nkw,nwv->nkv", rOH1, win, precision=_hi)
-            h00 = jnp.sum(t0 * cOH0, axis=-1)
-            h01 = jnp.sum(t0 * cOH1, axis=-1)
-            h10 = jnp.sum(t1 * cOH0, axis=-1)
-            h11 = jnp.sum(t1 * cOH1, axis=-1)
+            cOH0 = (ic == c0[..., None]).astype(jnp.float32)
+            cOH1 = (ic == (c0 + 1)[..., None]).astype(jnp.float32)
+            h00 = jnp.sum(t0 * cOH0, axis=-1) * _vs
+            h01 = jnp.sum(t0 * cOH1, axis=-1) * _vs
+            h10 = jnp.sum(t1 * cOH0, axis=-1) * _vs
+            h11 = jnp.sum(t1 * cOH1, axis=-1) * _vs
             fx = gxf - px
             fy = gyf - py
             gx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) * t_inv_h

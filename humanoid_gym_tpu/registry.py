@@ -109,6 +109,17 @@ def _register_builtin():
         cfg.domain_rand.randomize_contact_offset = True
         cfg.domain_rand.randomize_contact_compliance = True
         cfg.domain_rand.randomize_contact_slope = True
+        # v2 (round 5, VERDICT #5): the v1 recipe (distance curriculum, no
+        # speed teeth) had a KNOWN late-window transfer collapse — 16/16
+        # flat MuJoCo through ckpt 2800, then 0/16 at 2900-3001 while
+        # in-engine reward stayed healthy (docs/ROUND4.md). Apply the two
+        # ingredients that made humanoid_joint_deploy selection-free:
+        # survival-based curriculum promotion and sharp speed-tracking
+        # teeth (standing still at cmd>0 costs reward, so late training
+        # cannot drift into engine-detail exploitation at depth).
+        cfg.terrain.curriculum_mode = "survival"
+        cfg.rewards.scales.low_speed = 0.6
+        cfg.rewards.scales.track_vel_hard = 1.0
         return cfg
 
     def terrain_robust_ppo():

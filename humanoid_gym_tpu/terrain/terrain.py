@@ -447,9 +447,24 @@ _TILE_CACHE: dict = {}
 def make_tile_gather(tmap: TerrainMap, reach_m: float = 1.6):
     """Returns (win_fn, meta) where win_fn(cbx, cby) -> (win, bx, by):
     cbx/cby are clipped integer node coordinates of the window center
-    (scalar or batched); `win` is the pre-scaled (meters) (BR, BC) tile
-    guaranteed to contain every node in [c - RN, c + RN]; bx/by are its
-    global node origin. meta = (RN, BR, BC). Cached per TerrainMap."""
+    (scalar or batched); `win` is the RAW (unscaled int16-valued f32)
+    (BR, BC) tile guaranteed to contain every node in [c - RN, c + RN];
+    bx/by are its global node origin. meta = (RN, BR, BC). Cached per
+    TerrainMap.
+
+    Raw values are the point (round 5): every tap site one-hot-selects
+    from the tile with `Precision.HIGH` (3-pass bf16 on TPU instead of
+    HIGHEST's 6-pass f32) and multiplies by vertical_scale AFTERWARD.
+    Exactness argument: a one-hot row r and an integer-valued column v
+    with |v| < 2^16 satisfy bf16x3(r . v) = v EXACTLY — the 3-pass
+    product keeps r_hi*v_hi + r_hi*v_lo, r_hi = 1.0 and v_hi + v_lo
+    reconstructs any 16-bit integer exactly (v_lo's residual needs <= 8
+    significand bits), with exact-zero terms elsewhere and f32
+    accumulation. Scaling after selection performs the identical
+    f32 multiply (v * vertical_scale) a pre-scaled tile would have
+    stored, so tap values stay bit-identical to direct grid gathers.
+    Empirically pinned on real TPU hardware (HIGH vs HIGHEST vs direct
+    gather equality at 4096 envs, round-5 docs)."""
     import jax.numpy as jnp
 
     key = (id(tmap), round(reach_m, 3))
@@ -457,18 +472,26 @@ def make_tile_gather(tmap: TerrainMap, reach_m: float = 1.6):
     if hit is not None:
         return hit
 
-    BR, BC = 48, 128
-    SR, SC = 12, 64
+    BC, SC = 128, 64
     inv_h = 1.0 / tmap.horizontal_scale
     RN = int(np.ceil(reach_m * inv_h)) + 2
+    # smallest row-tile that guarantees the reach (round 5): short-reach
+    # consumers (the 8 base probe points, reach ~0.65 m) gather a (24,128)
+    # 12 KB window instead of the contact path's (48,128) 24 KB one —
+    # the gather is the probe stage's dominant cost and scales with rows
+    for BR, SR in ((24, 8), (32, 8), (48, 12), (64, 16), (96, 24)):
+        if BR - 2 * RN >= SR - 1 and BC - 2 * RN >= SC - 1:
+            break
     assert BR - 2 * RN >= SR - 1 and BC - 2 * RN >= SC - 1, (RN, BR, BC)
     nrow, ncol = tmap.height_field.shape
     nbr2 = nrow // BR + 2
     nbc2 = ncol // BC + 2
-    pad = np.zeros((nrow + 3 * BR, ncol + 3 * BC), np.float32)
-    pad[:nrow, :ncol] = (
-        np.asarray(tmap.height_field, np.float32) * tmap.vertical_scale
-    )
+    # int16 storage (round 5): the raw grid IS int16 — tiles at half the
+    # f32 bytes (the blocked copies are large embedded constants and the
+    # axon remote-compile tunnel rejects oversized payloads), converted
+    # to f32 AFTER each per-env window gather (exact)
+    pad = np.zeros((nrow + 3 * BR, ncol + 3 * BC), np.int16)
+    pad[:nrow, :ncol] = np.asarray(tmap.height_field, np.int16)
     Pgb = jnp.asarray(
         np.ascontiguousarray(
             np.stack(
@@ -495,7 +518,7 @@ def make_tile_gather(tmap: TerrainMap, reach_m: float = 1.6):
         sc = (jnp.maximum(cby - RN, 0) // SC) * SC
         dr = (sr % BR) // SR
         dc = (sc % BC) // SC
-        win = Pgb[dr, dc, sr // BR, sc // BC]
+        win = Pgb[dr, dc, sr // BR, sc // BC].astype(jnp.float32)
         return win, sr, sc
 
     out = (win_fn, (RN, BR, BC))
@@ -508,16 +531,22 @@ def make_tile_height_fn(tmap: TerrainMap, reach_m: float = 1.6):
     OBSERVATION contract): h_fn(cx, cy, xs, ys) returns the same heights
     for every query within reach_m of the center (cx, cy), but all taps
     come from one contiguous tile gather instead of three pointwise grid
-    gathers. min commutes with the positive vertical scale, so values
-    match make_height_fn bit-for-bit."""
+    gathers.
+
+    Round 5: the two row one-hots ride ONE stacked einsum (half the
+    batched-matmul launches) at Precision.HIGH over the RAW integer tile
+    (exact — see make_tile_gather), and the min is taken on raw values
+    before the single vertical_scale multiply — which is exactly
+    make_height_fn's formula, so values match it bit-for-bit."""
     import jax
     import jax.numpy as jnp
 
     win_fn, (RN, BR, BC) = make_tile_gather(tmap, reach_m)
     inv_h = 1.0 / tmap.horizontal_scale
     border = tmap.border_size
+    vscale = tmap.vertical_scale
     nrow, ncol = tmap.height_field.shape
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGH
     iw = jnp.arange(BR)
     ic = jnp.arange(BC)
 
@@ -533,15 +562,22 @@ def make_tile_height_fn(tmap: TerrainMap, reach_m: float = 1.6):
         py = jnp.clip(((ys + border) * inv_h).astype(jnp.int32), 0, ncol - 2)
         rx = jnp.clip(px - bx, 0, BR - 2)
         ry = jnp.clip(py - by, 0, BC - 2)
-        r0 = (iw == rx[..., None]).astype(jnp.float32)
-        r1 = (iw == (rx + 1)[..., None]).astype(jnp.float32)
+        rOH = jnp.concatenate(
+            [
+                (iw == rx[..., None]).astype(jnp.float32),
+                (iw == (rx + 1)[..., None]).astype(jnp.float32),
+            ],
+            axis=-2,
+        )  # (..., 2K, BR)
         c0 = (ic == ry[..., None]).astype(jnp.float32)
         c1 = (ic == (ry + 1)[..., None]).astype(jnp.float32)
-        t0 = jnp.einsum("...kw,...wv->...kv", r0, win, precision=hi)
-        t1 = jnp.einsum("...kw,...wv->...kv", r1, win, precision=hi)
+        t = jnp.einsum("...kw,...wv->...kv", rOH, win, precision=hi)
+        K = rx.shape[-1]
+        t0 = t[..., :K, :]
+        t1 = t[..., K:, :]
         h1 = jnp.sum(t0 * c0, axis=-1)
         h2 = jnp.sum(t1 * c0, axis=-1)
         h3 = jnp.sum(t0 * c1, axis=-1)
-        return jnp.minimum(jnp.minimum(h1, h2), h3)
+        return jnp.minimum(jnp.minimum(h1, h2), h3) * vscale
 
     return height_fn

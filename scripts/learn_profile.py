@@ -44,32 +44,43 @@ from humanoid_gym_tpu.utils.platform import apply_platform_env  # noqa: E402
 apply_platform_env()
 
 
-def time_chained(step_fn, carry0, fetch, chain, reps):
-    """Per-rep seconds of step_fn via (T_chain - T_1)/(chain - 1)."""
+def time_chained(step_fn, carry0, data, fetch, chain, reps, name=""):
+    """Per-rep seconds of step_fn(carry, data) via (T_chain - T_1)/(chain-1).
+
+    `data` (a pytree of device arrays) is passed as a jit ARGUMENT — a
+    closure over a ~1 GB rollout tensor would bake it into the HLO as a
+    constant, and shipping that through the axon remote-compile tunnel
+    both dominates compile time and breaks the pipe."""
     import jax
 
     def make(k):
-        def body(c, _):
-            return step_fn(c), None
+        def body_scan(c, d):
+            return jax.lax.scan(
+                lambda cc, _: (step_fn(cc, d), None), c, None, length=k
+            )[0]
 
-        return jax.jit(lambda c: jax.lax.scan(body, c, None, length=k)[0])
+        return jax.jit(body_scan)
 
     f1, fk = make(1), make(chain)
 
     def run(f):
-        out = f(carry0)
+        out = f(carry0, data)
         fetch(out)
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            out = f(carry0)
+            out = f(carry0, data)
             fetch(out)
             ts.append(time.time() - t0)
         return sorted(ts)[len(ts) // 2]
 
     t1 = run(f1)
     tk = run(fk)
-    return max(tk - t1, 0.0) / (chain - 1), t1
+    per = max(tk - t1, 0.0) / (chain - 1)
+    # incremental print so a tunnel death mid-run loses nothing
+    print(f"# stage {name}: per_rep {per*1e3:.2f} ms (single-call "
+          f"{t1*1e3:.1f} ms)", flush=True)
+    return per, t1
 
 
 def main():
@@ -78,7 +89,13 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--chain", type=int, default=16)
     ap.add_argument("--dtype", type=str, default="auto")
+    ap.add_argument("--stages", type=str, default="",
+                    help="comma list to run (default all); e.g. "
+                         "'gae,permute,update1,fwd,fwdbwd,adam' skips the "
+                         "two expensive whole-iteration compiles")
     a = ap.parse_args()
+    want = set(s for s in a.stages.split(",") if s)
+    sel = lambda name: (not want) or (name in want)
 
     import jax
     import jax.numpy as jnp
@@ -132,27 +149,29 @@ def main():
     results, singles = {}, {}
 
     # --- full (real carried state) ---
-    def full_step(c):
+    def full_step(c, d):
         ts_, st_, ob_, pv_, k_ = c
         ts_, st_, ob_, pv_, k_, _m = pieces["train_iter"](ts_, st_, ob_, pv_, k_)
         return (ts_, st_, ob_, pv_, k_)
 
-    results["full"], singles["full"] = time_chained(
-        full_step, (ts, state, obs, priv, key),
-        lambda c: fs(c[4][0]), a.chain, a.reps,
-    )
+    if sel("full"):
+        results["full"], singles["full"] = time_chained(
+            full_step, (ts, state, obs, priv, key), None,
+            lambda c: fs(c[4][0]), a.chain, a.reps, "full",
+        )
 
     # --- rollout (real carried state) ---
-    def roll_step(c):
+    def roll_step(c, d):
         ts_, st_, ob_, pv_, k_ = c
         st_, ob_, pv_, _roll, _i = pieces["rollout_phase"](ts_, st_, ob_, pv_, k_)
         k_ = jax.random.fold_in(k_, 1)
         return (ts_, st_, ob_, pv_, k_)
 
-    results["rollout"], singles["rollout"] = time_chained(
-        roll_step, (ts, state, obs, priv, key),
-        lambda c: fs(c[4][0]), a.chain, a.reps,
-    )
+    if sel("rollout"):
+        results["rollout"], singles["rollout"] = time_chained(
+            roll_step, (ts, state, obs, priv, key), None,
+            lambda c: fs(c[4][0]), a.chain, a.reps, "rollout",
+        )
 
     # materialize one rollout for the downstream stages
     st_, ob_, pv_, roll, _ = jax.jit(pieces["rollout_phase"])(
@@ -162,14 +181,17 @@ def main():
     pv_ = jax.block_until_ready(pv_)
 
     # --- gae (dependency: rewards + 0*acc) ---
-    def gae_step(acc):
-        r2 = roll._replace(rewards=roll.rewards + 0.0 * acc)
-        adv, ret = pieces["compute_gae"](ts, r2, pv_)
+    def gae_step(acc, d):
+        roll_d, pv_d = d
+        r2 = roll_d._replace(rewards=roll_d.rewards + 0.0 * acc)
+        adv, ret = pieces["compute_gae"](ts, r2, pv_d)
         return adv[0, 0] + ret[0, 0]
 
-    results["gae"], singles["gae"] = time_chained(
-        gae_step, jnp.asarray(0.0), fs, a.chain, a.reps,
-    )
+    if sel("gae"):
+        results["gae"], singles["gae"] = time_chained(
+            gae_step, jnp.asarray(0.0), (roll, pv_), fs, a.chain, a.reps,
+            "gae",
+        )
     adv, ret = jax.jit(pieces["compute_gae"])(ts, roll, pv_)
 
     flat = lambda x: x.reshape((batch,) + x.shape[2:])
@@ -182,18 +204,20 @@ def main():
     )
 
     # --- permute (dependency: fresh key each rep) ---
-    def perm_step(c):
+    def perm_step(c, d):
+        big_d, small_d = d
         k_, acc = c
         k_, ku = jax.random.split(k_)
         perm = jax.random.permutation(ku, batch)
-        b2 = big[perm]
-        s2 = small[perm]
+        b2 = big_d[perm]
+        s2 = small_d[perm]
         return (k_, acc + b2[0, 0] + s2[0, 0])
 
-    results["permute"], singles["permute"] = time_chained(
-        perm_step, (key, jnp.asarray(0.0)),
-        lambda c: fs(c[1]), a.chain, a.reps,
-    )
+    if sel("permute"):
+        results["permute"], singles["permute"] = time_chained(
+            perm_step, (key, jnp.asarray(0.0)), (big, small),
+            lambda c: fs(c[1]), a.chain, a.reps, "permute",
+        )
 
     vec_mb = big[:mb_size]
     sc_mb = small[:mb_size]
@@ -208,54 +232,63 @@ def main():
     mb = jax.block_until_ready(mb)
 
     # --- one minibatch update (real ts dependency) ---
-    def upd_step(ts_):
-        ts_, _m = pieces["minibatch_update"](ts_, mb)
+    def upd_step(ts_, mb_d):
+        ts_, _m = pieces["minibatch_update"](ts_, mb_d)
         return ts_
 
-    results["update1"], singles["update1"] = time_chained(
-        upd_step, ts, lambda t: fs(t.lr), a.chain, a.reps,
-    )
+    if sel("update1"):
+        results["update1"], singles["update1"] = time_chained(
+            upd_step, ts, mb, lambda t: fs(t.lr), a.chain, a.reps,
+            "update1",
+        )
 
     # --- fwd (dependency: obs + 0*acc) ---
-    def fwd_step(acc):
-        o2 = mb[0] + 0.0 * acc
-        p2 = mb[1] + 0.0 * acc
+    def fwd_step(acc, mb_d):
+        o2 = mb_d[0] + 0.0 * acc
+        p2 = mb_d[1] + 0.0 * acc
         mean, std = pieces["actor_apply"](ts.params, o2)
         value = pieces["critic_apply"](ts.params, p2)
         return jnp.sum(mean) + jnp.sum(value) + jnp.sum(std)
 
-    results["fwd"], singles["fwd"] = time_chained(
-        fwd_step, jnp.asarray(0.0), fs, a.chain, a.reps,
-    )
+    if sel("fwd"):
+        results["fwd"], singles["fwd"] = time_chained(
+            fwd_step, jnp.asarray(0.0), mb, fs, a.chain, a.reps, "fwd",
+        )
 
     # --- fwdbwd (dependency: params + 0*grads) ---
-    loss_fn = pieces["make_loss_fn"](mb)
-
-    def fwdbwd_step(params):
-        grads, _aux = jax.grad(loss_fn, has_aux=True)(params)
+    def fwdbwd_step(params, mb_d):
+        grads, _aux = jax.grad(
+            pieces["make_loss_fn"](mb_d), has_aux=True
+        )(params)
         return jax.tree.map(lambda p, g: p + 0.0 * g, params, grads)
 
-    results["fwdbwd"], singles["fwdbwd"] = time_chained(
-        fwdbwd_step, ts.params,
-        lambda p: fs(jax.tree.leaves(p)[0].ravel()[0]), a.chain, a.reps,
-    )
-    grads, _ = jax.jit(jax.grad(loss_fn, has_aux=True))(ts.params)
+    if sel("fwdbwd"):
+        results["fwdbwd"], singles["fwdbwd"] = time_chained(
+            fwdbwd_step, ts.params, mb,
+            lambda p: fs(jax.tree.leaves(p)[0].ravel()[0]), a.chain, a.reps,
+            "fwdbwd",
+        )
+    grads, _ = jax.jit(
+        lambda p, m: jax.grad(pieces["make_loss_fn"](m), has_aux=True)(p)
+    )(ts.params, mb)
     grads = jax.block_until_ready(grads)
 
     # --- adam (real param/opt dependency) ---
     import optax
 
-    def adam_step(c):
+    def adam_step(c, grads_d):
         params, mu, nu, cnt = c
-        gnorm = optax.global_norm(grads)
+        gnorm = optax.global_norm(grads_d)
         scale = jnp.minimum(1.0, algo_cfg.max_grad_norm / (gnorm + 1e-12))
-        g2 = jax.tree.map(lambda g: g * scale, grads)
+        g2 = jax.tree.map(lambda g: g * scale, grads_d)
         return PPO._adam_step(params, g2, mu, nu, cnt, ts.lr)
 
-    results["adam"], singles["adam"] = time_chained(
-        adam_step, (ts.params, ts.opt_mu, ts.opt_nu, ts.opt_count),
-        lambda c: fs(jax.tree.leaves(c[0])[0].ravel()[0]), a.chain, a.reps,
-    )
+    if sel("adam"):
+        results["adam"], singles["adam"] = time_chained(
+            adam_step, (ts.params, ts.opt_mu, ts.opt_nu, ts.opt_count), grads,
+            lambda c: fs(jax.tree.leaves(c[0])[0].ravel()[0]), a.chain, a.reps,
+            "adam",
+        )
 
     n_upd = algo_cfg.num_learning_epochs * algo_cfg.num_mini_batches
     summary = {
@@ -263,12 +296,9 @@ def main():
         "backend": jax.default_backend(), "chain": a.chain,
         "stages_ms": {k: round(v * 1e3, 2) for k, v in results.items()},
         "single_call_ms": {k: round(v * 1e3, 1) for k, v in singles.items()},
-        "learn_floor_ms": round(results["update1"] * n_upd * 1e3, 1),
-        "accounted_ms": round(
-            (results["rollout"] + results["gae"] + results["permute"]
-             + results["update1"] * n_upd) * 1e3, 1,
+        "n_updates_x_update1_ms": round(
+            results.get("update1", 0.0) * n_upd * 1e3, 1
         ),
-        "full_ms": round(results["full"] * 1e3, 1),
         "n_updates": n_upd,
     }
     print(json.dumps(summary))
