@@ -60,11 +60,10 @@ def XBotSCfg() -> B.LeggedRobotCfg:
     # field (XBot-S-terrain.xml) instead of the full-size one. Before
     # this, S trained on unscaled L terrain (1.37x relative amplitude)
     # with no morphology-consistent curriculum signal of its own.
-    if os.environ.get("HGT_XBOTS_FROUDE_TERRAIN", "1") != "0":
-        cfg.terrain.froude_scale = s
-        from .. import XBOT_S_TERRAIN_MJCF
+    cfg.terrain.froude_scale = s
+    from .. import XBOT_S_TERRAIN_MJCF
 
-        cfg.terrain.deploy_mjcf = XBOT_S_TERRAIN_MJCF
+    cfg.terrain.deploy_mjcf = XBOT_S_TERRAIN_MJCF
 
     # pushes x sqrt(s)
     cfg.domain_rand.max_push_vel_xy *= _SQ

@@ -247,6 +247,19 @@ def _register_builtin():
         # standing still at cmd>0 costs reward even at deep terrain levels.
         cfg.rewards.scales.low_speed = 0.6
         cfg.rewards.scales.track_vel_hard = 1.0
+        # v5 (round-5 controlled finding): XBot-S keeps the UNSCALED
+        # terrain in JOINT training. Giving the S half Froude-scaled
+        # (morphology-consistent) terrain degraded the SHARED policy's
+        # hfield transfer in every clean run — L standings 77/71/51
+        # survived (seeds default/7/3, froude on) vs 91 without it; a
+        # bitwise A/B (3 identical train iterations, identical rollout
+        # hashes) proved round-5 code is otherwise numerically identical
+        # to round 4, so the delta IS this knob. The S half's 1.37x
+        # relative amplitude acts as load-bearing hard-footing data for
+        # the shared policy (docs/ROUND5.md). froude_scale stays the
+        # XBotSCfg default for STANDALONE S tasks (humanoid_s_ppo).
+        cfg.terrain.froude_scale = 1.0
+        cfg.terrain.deploy_mjcf = None
 
     def joint_deploy_env(num_envs, cfg_overrides=None):
         from .envs.joint import make_joint_xbot_env

@@ -355,3 +355,33 @@ def test_xbots_cfg_points_deploy_at_scaled_field():
     cfg = XBotSCfg()
     assert abs(cfg.terrain.froude_scale - SCALE) < 1e-9
     assert cfg.terrain.deploy_mjcf == XBOT_S_TERRAIN_MJCF
+
+
+def test_joint_deploy_keeps_unscaled_s_terrain():
+    """Round-5 controlled finding: the production joint recipe must NOT
+    Froude-scale the S half's terrain (clean-run L standings 77/71/51
+    with scaling vs 91 without; registry._apply_joint_deploy_v2), while
+    the STANDALONE S task keeps morphology-consistent scaling."""
+    from humanoid_gym_tpu import registry
+    from humanoid_gym_tpu.config.xbots import SCALE, XBotSCfg
+
+    spec = registry.get_task("humanoid_joint_deploy")
+    cfg = spec.make_env_cfg()
+    assert cfg.terrain.froude_scale == 1.0
+    assert cfg.terrain.deploy_mjcf is None
+    assert abs(XBotSCfg().terrain.froude_scale - SCALE) < 1e-9
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_joint_deploy_s_subenv_unscaled_end_to_end():
+    from humanoid_gym_tpu import registry
+
+    env, _ = registry.make_env(
+        "humanoid_joint_deploy", num_envs=8,
+        cfg_overrides=lambda c: setattr(c.sim.solver, "solver_type", "apgd"),
+    )
+    assert env.envs[1].cfg.terrain.froude_scale == 1.0
+    assert env.envs[1].cfg.terrain.deploy_mjcf is None
